@@ -1,0 +1,69 @@
+"""Engine configuration constants.
+
+Mirrors the reference's tunables (``configs-example.yaml:55-63`` and the
+pagination/retry defaults cited per field) so sketches and crawl behavior are
+shape-compatible, while everything else is Spark-native.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """Content-sketch parameters (reference: configs-example.yaml:55-63)."""
+
+    max_records_per_dataset: int = 1_000_000   # configs-example.yaml:56
+    table_sample_size: int = 20                # configs-example.yaml:57
+    minhash_size: int = 256                    # configs-example.yaml:58
+    minhash_seed: int = 43                     # configs-example.yaml:59
+    hyperloglog_p: int = 8                     # configs-example.yaml:60
+    column_sample_size: int = 100              # configs-example.yaml:61
+    enable_word_vector_data: bool = False      # configs-example.yaml:62
+    minhash_lsh_threshold: float = 0.5         # configs-example.yaml:63
+    lsh_index_threshold: float = 0.1           # lshserver/main.go:23
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Crawl-scheduler parameters.
+
+    Page sizes / retries mirror the reference scrollers
+    (``findopendata/ckan/__init__.py:8-9``,
+    ``findopendata/socrata/__init__.py:4``); politeness is explicit here
+    (the reference gets it implicitly from one serial scroll task per
+    endpoint, README.md:181-196).
+    """
+
+    page_size: int = 50                 # ckan/__init__.py:8-9
+    record_page_size: int = 25_000      # socrata/__init__.py:4
+    max_retries: int = 3                # ckan/__init__.py:8
+    retry_backoff_s: float = 5.0        # ckan/__init__.py:9
+    schema_inference_head: int = 25_000  # parsers/avro.py:87
+
+    # politeness / frontier (north-rule additions; no reference analog)
+    default_crawl_delay_s: float = 1.0
+    per_host_wave_budget: int = 50      # max URLs fetched per host per wave
+    host_shards: int = 32               # bucket(K, host) partition count
+    hot_host_salt: int = 8              # salt factor for skewed hosts
+    bloom_bits_per_key: int = 10        # ~1% fpp
+    bloom_num_hashes: int = 7
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    sketch: SketchConfig = field(default_factory=SketchConfig)
+    crawl: CrawlConfig = field(default_factory=CrawlConfig)
+
+    # download-format whitelist (reference: ckan_crawler.py:25)
+    accepted_formats: tuple[str, ...] = ("csv",)
+
+
+DEFAULT = EngineConfig()
+
+
+def testdata_dir(sf: str = "0.01") -> str:
+    """Driver-generated parquet root for a scale factor (TESTDATA.md)."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")

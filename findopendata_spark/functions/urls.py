@@ -1,0 +1,89 @@
+"""URL canonicalization as pure column expressions (no Python on the path).
+
+Reference analog: ``findopendata/ckan_crawler.py:286-288`` and
+``findopendata/ckan/__init__.py:19`` canonicalize endpoints with
+``rstrip("/")``; the north rule extends this to full scheme/host
+lowercasing, query-param sorting and fragment stripping. All steps below
+are built-in ``pyspark.sql.functions`` so Catalyst folds them into
+whole-stage codegen — at 10^10 URLs this runs JVM-side with zero Python.
+
+Canonical form:
+  ``lower(scheme)://lower(host)[:port]path(no trailing /)[?sorted(query)]``
+  - fragment dropped
+  - default ports (:80 http, :443 https) dropped
+  - query params sorted lexicographically (stable dedup key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^\s*([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def _hostport(url: Column) -> Column:
+    # authority up to first /, ?, or #
+    return F.lower(F.regexp_extract(url, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+
+def _path(url: Column) -> Column:
+    return F.regexp_extract(url, r"^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+
+def _query(url: Column) -> Column:
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host without port — the politeness / sharding key."""
+    return F.regexp_replace(_hostport(url), r":\d+$", "")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a single deterministic column expression."""
+    scheme = _scheme(url)
+    hostport = _hostport(url)
+    # drop default ports
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(_path(url), r"/+$", "")  # strip trailing slash(es)
+    query = _query(url)
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
+    )
+
+
+def canonicalize_url_sql(col: str) -> str:
+    """ANSI/DuckDB-SQL rendering of :func:`canonicalize_url` (oracle parity).
+
+    Same regex steps expressed for DuckDB so the driver's side-by-side
+    correctness gate can verify the canonicalizer end-to-end.
+    """
+    scheme = f"lower(regexp_extract({col}, '^\\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({col}, '^\\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    hostport_nodef = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({col}, "
+        f"'^\\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    )
+    query = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    sorted_query = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (
+        f"concat({scheme}, '://', {hostport_nodef}, {path}, "
+        f"CASE WHEN {query} <> '' THEN concat('?', {sorted_query}) ELSE '' END)"
+    )

@@ -1,0 +1,137 @@
+"""Snapshot-versioned table store with atomic per-wave commits.
+
+The reference keeps all crawl/metadata/sketch state in Postgres tables
+mutated by per-task upserts (``sql/create_crawler_tables.sql``,
+``findopendata/ckan_crawler.py:52-63``). Our engine keeps state in
+snapshot-versioned tables with **one atomic commit per wave** — the
+Iceberg model. This module is a minimal file-based implementation of that
+model (the sandbox has no Iceberg jars): each table is a directory of
+immutable parquet snapshots, and a single ``_current.json`` pointer names
+the committed snapshot of every table plus the last complete wave id.
+
+Commit protocol (crash-safe, exactly the Iceberg sequence):
+
+1. every table touched by wave *k* is **staged** — written to a new
+   ``<table>/snap-<k>`` parquet dir; nothing reads staged data;
+2. a new pointer doc naming all tables' current snapshots is written to a
+   temp file and ``os.replace``-d onto ``_current.json`` (atomic on POSIX).
+
+A run killed anywhere before step 2 leaves only unreferenced snapshot
+dirs; resume reads ``_current.json`` and sees the previous wave's state
+exactly (north rule: "a killed run resumes exactly"). On a real cluster
+this class is replaced verbatim by an Iceberg catalog — the engine only
+uses ``read`` / ``stage`` / ``commit_wave`` / ``current_wave``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_current.json"
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer ----------------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _POINTER)
+
+    def _read_pointer(self) -> dict:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"wave": -1, "tables": {}}
+
+    def current_wave(self) -> int:
+        """Last fully-committed wave id (-1 = fresh store)."""
+        return int(self._read_pointer()["wave"])
+
+    def tables(self) -> dict[str, str]:
+        return dict(self._read_pointer()["tables"])
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """DataFrame of the committed snapshot, or None if never committed."""
+        snap = self._read_pointer()["tables"].get(table)
+        if snap is None:
+            return None
+        return spark.read.parquet(os.path.join(self.root, table, snap))
+
+    def read_at(self, spark: SparkSession, table: str, wave: int) -> DataFrame | None:
+        """Time travel: the table as of wave `wave` (reads the wave log)."""
+        log = os.path.join(self.root, "_waves", f"wave-{wave:06d}.json")
+        try:
+            with open(log) as f:
+                snap = json.load(f)["tables"].get(table)
+        except FileNotFoundError:
+            return None
+        if snap is None:
+            return None
+        return spark.read.parquet(os.path.join(self.root, table, snap))
+
+    # -- write ------------------------------------------------------------
+    def stage(self, df: DataFrame, table: str, wave: int) -> str:
+        """Write an immutable snapshot dir for `table`; invisible until commit."""
+        snap = f"snap-{wave:06d}"
+        path = os.path.join(self.root, table, snap)
+        if os.path.exists(path):  # leftover from a killed run — overwrite
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        return snap
+
+    # -- append-only tables (seen / docs / lineage) -------------------------
+    # One immutable parquet dir per wave (``<table>/wave=<k>``); readers
+    # filter ``wave <= current_wave()`` so dirs staged by a killed run are
+    # invisible until their wave commits — the same visibility rule as
+    # Iceberg manifests, at directory granularity. Appending per wave keeps
+    # the per-wave write O(wave delta), not O(total state): at a 10^10-URL
+    # seen set a full rewrite per wave would dominate the job.
+
+    def stage_append(self, df: DataFrame, table: str, wave: int) -> None:
+        path = os.path.join(self.root, table, f"wave={wave}")
+        df.write.mode("overwrite").parquet(path)
+
+    def read_appended(
+        self, spark: SparkSession, table: str, upto: int | None = None
+    ) -> DataFrame | None:
+        """Union of all committed wave appends (wave partition col included)."""
+        from pyspark.sql import functions as F
+
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base) or not any(
+            e.startswith("wave=") for e in os.listdir(base)
+        ):
+            return None
+        upto = self.current_wave() if upto is None else upto
+        df = spark.read.option("basePath", base).parquet(base)
+        return df.filter(F.col("wave") <= upto)
+
+    def commit_wave(self, wave: int, staged: dict[str, str]) -> None:
+        """Atomically publish wave `wave`.
+
+        `staged` maps table → snapshot name returned by :meth:`stage`.
+        Tables not in `staged` keep their previous snapshot (copy-on-write
+        at table granularity).
+        """
+        pointer = self._read_pointer()
+        if wave <= pointer["wave"]:
+            raise ValueError(f"wave {wave} already committed (at {pointer['wave']})")
+        pointer["tables"].update(staged)
+        pointer["wave"] = wave
+        os.makedirs(os.path.join(self.root, "_waves"), exist_ok=True)
+        log = os.path.join(self.root, "_waves", f"wave-{wave:06d}.json")
+        with open(log + ".tmp", "w") as f:
+            json.dump(pointer, f)
+        os.replace(log + ".tmp", log)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pointer, f)
+        os.replace(tmp, self._pointer_path())  # the atomic publish

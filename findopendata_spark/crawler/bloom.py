@@ -1,0 +1,84 @@
+"""Partitioned Bloom URL-seen filter: per-partition shard build + broadcast probe.
+
+Reference analog: the URL-seen set is unique indexes + upserts in Postgres
+(``sql/create_crawler_tables.sql:45,78,104``); membership there is an index
+probe per row. At 10^10 URLs the exact check must become a shuffle
+(anti-join on ``url_canon``), and this Bloom filter exists to keep ~99% of
+genuinely-new URLs OUT of that shuffle:
+
+- **build**: ``mapInPandas`` over the seen table's ``url_hash`` column
+  computes one Bloom shard per partition (numpy bit ops); the driver ORs
+  shards into one bitset — a tree-reduce at cluster scale.
+- **probe**: the bitset is broadcast; a pandas UDF answers "maybe seen"
+  per batch with vectorized double hashing. Definite-negatives skip the
+  anti-join entirely; only maybe-positives (true hits + ~1% fp) shuffle.
+
+Hashing: double hashing h1 + i*h2 (Kirsch–Mitzenmacher 2006) over the
+splitmix64-finalized ``url_hash``, k rounds. All uint64 numpy; no per-row
+Python (north-rule axis A).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from findopendata_spark.crawler.graph import mix
+
+
+def _positions(url_hash: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(h), k) bit positions via double hashing."""
+    h = url_hash.astype(np.uint64)
+    h1 = mix(h, 0xB100)
+    h2 = mix(h, 0xB200) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_size_bits(n_keys: int, bits_per_key: int) -> int:
+    m = max(1024, n_keys * bits_per_key)
+    return 1 << int(np.ceil(np.log2(m)))  # pow2 → cheap masking semantics
+
+
+def build_bloom(seen_df, m_bits: int, k: int) -> bytes:
+    """OR-reduce per-partition Bloom shards of `seen_df.url_hash`."""
+    from pyspark.sql import functions as F
+
+    def shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            h = pdf["url_hash"].to_numpy(np.int64).view(np.uint64)
+            pos = _positions(h, m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"shard": [bits.tobytes()]})
+
+    shards = seen_df.select(F.col("url_hash")).mapInPandas(
+        shard, "shard binary"
+    ).collect()
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in shards:
+        acc |= np.frombuffer(row["shard"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def with_maybe_seen(df, bloom_bytes_bc, m_bits: int, k: int, hash_col="url_hash"):
+    """Add boolean ``maybe_seen`` by probing the broadcast Bloom bitset."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bloom_bytes_bc.value, dtype=np.uint8)
+        pos = _positions(h.to_numpy(np.int64).view(np.uint64), m_bits, k)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    return df.withColumn("maybe_seen", probe(F.col(hash_col)))

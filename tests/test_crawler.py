@@ -1,0 +1,225 @@
+"""Crawler engine tests (SURVEY.md §5 strategy items 2/4/5).
+
+The golden oracle is a pure-Python reference-style simulator that walks
+the same synthetic portal graph with the reference harvester's scheduling
+semantics — serial per-host scrolls under a politeness budget, seen-set
+dedup before fetch (``ckan_crawler.py:255-273``), robots/format gating
+before download (``:161-176``) — and must agree with the Spark engine on
+(a) which URL is fetched in which wave per host (visit ordering), and
+(b) the final URL-seen set.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from findopendata_spark.config import CrawlConfig
+from findopendata_spark.crawler import crawl
+from findopendata_spark.crawler import graph as G
+from findopendata_spark.crawler.bloom import bloom_size_bits, build_bloom, with_maybe_seen
+
+GCFG = G.GraphConfig(graph_size=500)
+CCFG = CrawlConfig(per_host_wave_budget=10)
+WAVES = 4
+
+
+@pytest.fixture(scope="module")
+def crawl_state(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crawl_a"))
+    state = crawl(spark, d, waves=WAVES, cfg=CCFG, gcfg=GCFG)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Reference-style simulator (the golden oracle)
+# ---------------------------------------------------------------------------
+
+def _spark_xxhash64(spark, urls):
+    if not urls:
+        return {}
+    df = spark.createDataFrame([(u,) for u in sorted(urls)], "url string")
+    return {r["url"]: r["h"] for r in df.select("url", F.xxhash64("url").alias("h")).collect()}
+
+
+def simulate(spark, gcfg: G.GraphConfig, cfg: CrawlConfig, waves: int):
+    robots = {r["host"]: r for _, r in G.robots_rows(gcfg).iterrows()}
+    seeds = G.seed_portal_rows(gcfg)
+    frontier: dict[str, tuple[str, int, float]] = {}  # url -> (host, depth, prio)
+    seen: set[str] = set()
+    visits: list[tuple[int, str, str]] = []  # (wave, host, url)
+
+    def blocked(host, url):
+        r = robots.get(host)
+        if r is None:
+            return False
+        path = url.split("://", 1)[1]
+        path = path[path.find("/"):] if "/" in path else ""
+        return path.startswith(r["disallow_prefix"])
+
+    for _, s in seeds[seeds.enabled].iterrows():
+        if not blocked(s["host"], s["endpoint"]) and s["endpoint"] not in seen:
+            frontier[s["endpoint"]] = (s["host"], 0, 1.0)
+            seen.add(s["endpoint"])
+
+    last_fetch: dict[str, int] = {}
+    for wave in range(1, waves + 1):
+        by_host: dict[str, list[str]] = {}
+        for url, (host, depth, prio) in frontier.items():
+            delay = robots.get(host, {"crawl_delay": cfg.default_crawl_delay_s})["crawl_delay"]
+            if host not in last_fetch or wave >= last_fetch[host] + delay:
+                by_host.setdefault(host, []).append(url)
+        selected = []
+        for host, urls in by_host.items():
+            urls.sort(key=lambda u: (-frontier[u][2], u))
+            take = urls[: cfg.per_host_wave_budget]
+            selected += take
+            last_fetch[host] = wave
+            for u in take:
+                visits.append((wave, host, u))
+        # fetch + extract links
+        hashes = _spark_xxhash64(spark, selected)
+        cand: dict[str, int] = {}
+        for u in selected:
+            h = np.array([hashes[u]], dtype=np.int64).view(np.uint64)
+            _, kind, text, _, _ = G.synth_fetch_pandas(
+                pd.Series(h), pd.Series([frontier[u][1]]), gcfg
+            )
+            for t in text[kind == "link"]:
+                host_t = t.split("://", 1)[1].split("/", 1)[0]
+                if blocked(host_t, t):
+                    continue
+                d = frontier[u][1] + 1
+                cand[t] = min(cand.get(t, d), d)
+        for u in selected:
+            del frontier[u]
+        for t, d in cand.items():
+            if t not in seen:
+                seen.add(t)
+                frontier[t] = (t.split("://", 1)[1].split("/", 1)[0], d, 1.0 / (d + 1))
+    return visits, seen
+
+
+@pytest.fixture(scope="module")
+def sim(spark):
+    return simulate(spark, GCFG, CCFG, WAVES)
+
+
+def test_visit_ordering_parity(spark, crawl_state, sim):
+    """(wave, host, url) fetch schedule matches the reference simulator."""
+    visits_sim, _ = sim
+    docs = crawl_state.cat.read_appended(spark, "docs")
+    engine = sorted(
+        (r["wave"], r["host"], r["url_canon"])
+        for r in docs.select("wave", "host", "url_canon").collect()
+    )
+    assert engine == sorted(visits_sim)
+
+
+def test_seen_set_parity(spark, crawl_state, sim):
+    """Final URL-seen set equality (north rule)."""
+    _, seen_sim = sim
+    seen = crawl_state.cat.read_appended(spark, "seen")
+    engine = {r["url_canon"] for r in seen.select("url_canon").collect()}
+    assert engine == seen_sim
+
+
+def test_seen_unique_and_frontier_disjoint(spark, crawl_state):
+    seen = crawl_state.cat.read_appended(spark, "seen")
+    assert seen.count() == seen.select("url_canon").distinct().count()
+    docs = crawl_state.cat.read_appended(spark, "docs")
+    frontier = crawl_state.cat.read(spark, "frontier")
+    refetch = frontier.join(docs, "url_canon", "inner").count()
+    assert refetch == 0  # nothing fetched stays in the frontier
+
+
+def test_politeness_budget_and_delay(spark, crawl_state):
+    docs = crawl_state.cat.read_appended(spark, "docs")
+    per = docs.groupBy("wave", "host").count().collect()
+    assert all(r["count"] <= CCFG.per_host_wave_budget for r in per)
+    # crawl_delay=3 host: consecutive fetch waves spaced >= 3
+    waves = sorted(
+        r["wave"]
+        for r in docs.filter(F.col("host") == "data-0.example.net")
+        .select("wave").distinct().collect()
+    )
+    assert all(b - a >= 3 for a, b in zip(waves, waves[1:]))
+
+
+def test_robots_disallow(spark, crawl_state):
+    seen = crawl_state.cat.read_appended(spark, "seen")
+    assert seen.filter(F.col("url_canon").contains("/private/")).count() == 0
+
+
+def test_lineage_conservation(spark, crawl_state):
+    """enqueued + deduped == candidates, per (wave, shard) and globally."""
+    lin = crawl_state.cat.read_appended(spark, "lineage")
+    bad = lin.filter(
+        F.col("urls_candidates") != F.col("urls_enqueued") + F.col("urls_deduped")
+    ).count()
+    assert bad == 0
+    tot = lin.agg(F.sum("urls_enqueued").alias("e")).collect()[0]["e"]
+    seen_n = crawl_state.cat.read_appended(spark, "seen").count()
+    n_seeds = GCFG.n_enabled
+    assert tot + n_seeds == seen_n
+
+
+def test_resume_exactness(spark, crawl_state, tmp_path):
+    """Run 2 waves, kill (leave staged garbage), resume to 4 → state identical
+    to the uninterrupted 4-wave run (north rule: exact resume)."""
+    d = str(tmp_path / "crawl_b")
+    st_b = crawl(spark, d, waves=2, cfg=CCFG, gcfg=GCFG)
+    # simulate a mid-wave kill: stage wave-3 data but never commit it
+    frontier = st_b.cat.read(spark, "frontier")
+    st_b.cat.stage(frontier.limit(1), "frontier", 3)
+    st_b.cat.stage_append(frontier.limit(1), "seen", 3)
+    assert st_b.cat.current_wave() == 2
+    st_b2 = crawl(spark, d, waves=WAVES, cfg=CCFG, gcfg=GCFG)  # resume
+    for table in ("seen", "docs"):
+        a = crawl_state.cat.read_appended(spark, table)
+        b = st_b2.cat.read_appended(spark, table)
+        key = "url_canon" if table == "seen" else "doc_id"
+        assert a.count() == b.count()
+        assert a.join(b, key, "left_anti").count() == 0
+    fa = crawl_state.cat.read(spark, "frontier")
+    fb = st_b2.cat.read(spark, "frontier")
+    assert fa.count() == fb.count()
+    assert fa.join(fb, "url_canon", "left_anti").count() == 0
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rerun_wave_is_idempotent(spark, crawl_state, tmp_path):
+    """Property: crawling to wave k then asking for k again adds nothing."""
+    st = crawl_state
+    before = st.cat.current_wave()
+    st2 = crawl(spark, st.cat.root, waves=before, cfg=CCFG, gcfg=GCFG)
+    assert st2.cat.current_wave() == before
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter unit tests
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-(2**62), 2**62, size=5000, dtype=np.int64)
+    fresh = rng.randint(-(2**62), 2**62, size=5000, dtype=np.int64)
+    fresh = np.setdiff1d(fresh, keys)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    m = bloom_size_bits(len(keys), 10)
+    bloom = build_bloom(df, m, 7)
+    bc = spark.sparkContext.broadcast(bloom)
+    probe_df = spark.createDataFrame(
+        [(int(k), True) for k in keys] + [(int(k), False) for k in fresh],
+        "url_hash long, member boolean",
+    )
+    res = with_maybe_seen(probe_df, bc, m, 7).collect()
+    members = [r for r in res if r["member"]]
+    non = [r for r in res if not r["member"]]
+    assert all(r["maybe_seen"] for r in members)  # zero false negatives
+    fp = sum(r["maybe_seen"] for r in non) / len(non)
+    assert fp < 0.05

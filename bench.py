@@ -1,0 +1,159 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR + crawl scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total query sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"throughput_nlo": urls/s @ local[N_LO],
+             "throughput_nhi": urls/s @ local[N_HI],
+             "scaling_efficiency": thr_hi / ((N_HI/N_LO) * thr_lo), ...}}
+
+The crawl block evidences BASELINE.json's two-cluster-size rule in-sandbox:
+same synthetic frontier, identical input, two parallelism levels
+(local[N] vs local[4N]); throughput = (urls scheduled + deduped)/sec from
+lineage rows. Set SPARK_GRAFT_BENCH_CRAWL=0 to skip the crawl block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_LO = max(2, CPUS // 4)
+N_HI = CPUS
+
+
+def _new_spark(cores: int):
+    from findopendata_spark.session import get_spark
+
+    return get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    out: dict[str, float] = {}
+    for name, q in sorted(entry.queries().items()):
+        t0 = time.time()
+        q(spark, SF_DIR).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_crawl(cores: int) -> dict:
+    """Fixed synthetic frontier (seed 42), W waves; returns throughput.
+
+    Run in a FRESH process per parallelism level (see main): JVM options
+    (GC) and local[N] sizing only apply at JVM launch."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from findopendata_spark.config import CrawlConfig
+    from findopendata_spark.crawler import crawl
+    from findopendata_spark.crawler.graph import GraphConfig
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from findopendata_spark.session import get_spark
+
+    # AQE off for the crawl: its per-shuffle materialization barriers
+    # serialize this many-stage pipeline; partition counts and skew are
+    # already managed explicitly (salting + two-phase top-k).
+    spark = get_spark(
+        f"bench-crawl-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    cfg = CrawlConfig(per_host_wave_budget=12_000, hot_host_salt=32)
+    gcfg = GraphConfig(graph_size=5_000_000, out_links_min=8, out_links_max=24)
+    d = tempfile.mkdtemp(prefix=f"bench-crawl-{cores}-")
+    try:
+        t0 = time.time()
+        state = crawl(spark, d, waves=2, cfg=cfg, gcfg=gcfg, bulk_seeds=300_000)
+        wall = time.time() - t0
+        lin = state.cat.read_appended(spark, "lineage")
+        agg = lin.agg(
+            F.sum("urls_fetched").alias("fetched"),
+            F.sum("urls_candidates").alias("scheduled"),
+            F.sum("urls_deduped").alias("deduped"),
+            F.sum("urls_enqueued").alias("enqueued"),
+        ).collect()[0]
+        work = int(agg["scheduled"]) + int(agg["deduped"])
+        return {
+            "cores": cores,
+            "wall_s": round(wall, 2),
+            "urls_fetched": int(agg["fetched"]),
+            "urls_scheduled": int(agg["scheduled"]),
+            "urls_deduped": int(agg["deduped"]),
+            "throughput_urls_per_s": round(work / wall, 1),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+def _crawl_subprocess(cores: int) -> dict:
+    """Run bench_crawl(cores) in a fresh python/JVM process."""
+    import subprocess
+
+    code = (
+        "import json, bench; print('BENCHJSON:'+json.dumps(bench.bench_crawl(%d)))"
+        % cores
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON:"):
+            return json.loads(line[len("BENCHJSON:"):])
+    raise RuntimeError(f"crawl bench failed at {cores} cores: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    spark = _new_spark(CPUS)
+    queries = bench_queries(spark)
+    result = {
+        "metric": "headline query wall time (sum) + crawl URLs scheduled+deduped/sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_CRAWL", "1") != "0":
+        # best-of-2 per level: this sandbox host shows ±50% interference
+        # noise between identical runs; min-wall is the least-disturbed run
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        lo = max(
+            (_crawl_subprocess(N_LO) for _ in range(runs)),
+            key=lambda r: r["throughput_urls_per_s"],
+        )
+        hi = max(
+            (_crawl_subprocess(N_HI) for _ in range(runs)),
+            key=lambda r: r["throughput_urls_per_s"],
+        )
+        ratio = N_HI / N_LO
+        eff = hi["throughput_urls_per_s"] / (ratio * lo["throughput_urls_per_s"])
+        result["crawl"] = {
+            "n_lo": lo,
+            "n_hi": hi,
+            "parallelism_ratio": ratio,
+            "scaling_efficiency": round(eff, 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,19 @@ def build_bloom(seen_df, m_bits: int, k: int) -> bytes:
     return acc.tobytes()
 
 
+def or_delta(bloom_bytes: bytes, delta_df, m_bits: int, k: int) -> bytes:
+    """OR the Bloom shards of `delta_df.url_hash` into an existing bitset.
+
+    Used for the per-wave incremental update: shards are built where the
+    data lives (``mapInPandas``) and only m/8-byte bitsets travel to the
+    driver — never the keys themselves."""
+    delta = build_bloom(delta_df, m_bits, k)
+    acc = np.frombuffer(bloom_bytes, dtype=np.uint8) | np.frombuffer(
+        delta, dtype=np.uint8
+    )
+    return acc.tobytes()
+
+
 def with_maybe_seen(df, bloom_bytes_bc, m_bits: int, k: int, hash_col="url_hash"):
     """Add boolean ``maybe_seen`` by probing the broadcast Bloom bitset."""
     from pyspark.sql import functions as F

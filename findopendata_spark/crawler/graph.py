@@ -135,6 +135,35 @@ def seed_frontier(spark, cfg: GraphConfig):
     )
 
 
+def bulk_seed_frontier(spark, cfg: GraphConfig, n: int):
+    """n-URL synthetic frontier for scale benchmarks (the 10^10 shape knob).
+
+    Pure JVM expressions over ``spark.range(n)`` — no data materialized on
+    the driver, so ``n`` scales to any size the cluster can hold. Host
+    skew matches the link generator (hot host gets ``hot_pct``%)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    is_hot = F.pmod(F.xxhash64("id"), F.lit(100)) < F.lit(cfg.hot_pct)
+    hostj = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(cfg.n_data_hosts))
+    host = F.when(is_hot, F.lit(cfg.hot_host)).otherwise(
+        F.concat(F.lit("data-"), hostj.cast("string"), F.lit(".example.net"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/d/"),
+        F.lpad((F.col("id") % cfg.graph_size).cast("string"), 12, "0"),
+    )
+    return df.select(
+        url.alias("url_canon"),
+        host.alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(1.0).alias("priority"),
+        F.lit(0).alias("discovered_wave"),
+    ).dropDuplicates(["url_canon"])
+
+
 # ---------------------------------------------------------------------------
 # The synthetic fetch: url_hash (uint64, computed JVM-side) → span rows.
 # ---------------------------------------------------------------------------

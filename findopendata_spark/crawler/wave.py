@@ -64,20 +64,31 @@ class CrawlState:
     _bloom: bytes | None = None
     _bloom_m: int = 0
     _seen_count: int = 0
+    _frontier_count: int | None = None  # tracked incrementally per wave
 
 
 def _shard(col, k: int):
     return F.pmod(F.xxhash64(col), F.lit(k)).cast("int")
 
 
-def init_state(spark: SparkSession, state: CrawlState) -> None:
-    """Wave 0: seeds → frontier + seen; robots table registered."""
+def init_state(
+    spark: SparkSession, state: CrawlState, bulk_seeds: int = 0
+) -> None:
+    """Wave 0: seeds → frontier + seen; robots table registered.
+
+    ``bulk_seeds > 0`` replaces the portal seed list with an n-URL
+    synthetic frontier (scale benchmarks; the 10^10-shape knob)."""
     cat, gcfg = state.cat, state.gcfg
     if cat.current_wave() >= 0:
         return
     robots = spark.createDataFrame(G.robots_rows(gcfg))
+    base = (
+        G.bulk_seed_frontier(spark, gcfg, bulk_seeds)
+        if bulk_seeds > 0
+        else G.seed_frontier(spark, gcfg)
+    )
     seeds = (
-        G.seed_frontier(spark, gcfg)
+        base
         .join(F.broadcast(robots.select("host", "disallow_prefix")), "host", "left")
         .filter(~_is_blocked_expr())
         .drop("disallow_prefix")
@@ -167,22 +178,41 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         )
         .join(host_state, "host", "left")
     )
-    ready = f.filter(
-        F.col("last_fetch_wave").isNull()
-        | (F.lit(wave) >= F.col("last_fetch_wave") + F.col("crawl_delay"))
+    eligible_cond = F.col("last_fetch_wave").isNull() | (
+        F.lit(wave) >= F.col("last_fetch_wave") + F.col("crawl_delay")
     )
+    fr_cols = ["url_canon", "host", "depth", "priority", "discovered_wave", "url_hash"]
+    not_ready = f.filter(~eligible_cond).select(*fr_cols)
+    ready = f.filter(eligible_cond)
     ready.cache()  # reused: selection window + lineage eligible-count
 
-    # 2. per-host selection window (W7/W4): priority desc, url asc, capped
-    w = Window.partitionBy("host").orderBy(
+    # 2. per-host selection window (W7/W4): priority desc, url asc, capped.
+    # Two-phase top-k: a salted partial rank bounds every sort task (the
+    # hot host otherwise lands its whole frontier slice in ONE window
+    # task), then the exact rank runs over <= salt*budget survivors/host.
+    # top-B(host) ⊆ ∪_salt top-B(host, salt), so this is exact.
+    budget = cfg.per_host_wave_budget
+    w_pre = Window.partitionBy("host", "_ssalt").orderBy(
         F.desc("priority"), F.asc("url_canon")
     )
+    ranked_pre = ready.withColumn(
+        "_ssalt", F.pmod(F.xxhash64("url_canon"), F.lit(cfg.hot_host_salt))
+    ).withColumn("rn", F.row_number().over(w_pre))
+    ranked_pre.cache()  # both the survivors and the leftovers are reused
+    pre = ranked_pre.filter(F.col("rn") <= budget).drop("rn", "_ssalt")
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_canon"))
+    ranked = pre.withColumn("rn", F.row_number().over(w))
+    ranked.cache()
     selected = (
-        ready.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cfg.per_host_wave_budget)
+        ranked.filter(F.col("rn") <= budget)
         .select("url_canon", "host", "depth", "priority", "url_hash")
     )
-    selected.cache()  # reused: fetch, frontier anti-join, host_state, lineage
+    selected.cache()  # reused: fetch, host_state, lineage
+    # frontier leftovers — everything eligible but not selected, WITHOUT an
+    # anti-join: the window rank already partitions ready exactly.
+    leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
+        ranked.filter(F.col("rn") > budget).select(*fr_cols)
+    )
 
     # 3. fetch: salted (host, salt) groups → flat span rows
     spans = (
@@ -248,6 +278,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     bloom_bytes, m_bits = _get_bloom(spark, state, seen)
     bc = spark.sparkContext.broadcast(bloom_bytes)
     cand = with_maybe_seen(cand, bc, m_bits, cfg.bloom_num_hashes)
+    cand.cache()  # probe UDF runs once; both filter branches reuse it
     definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe_new = (
         cand.filter(F.col("maybe_seen"))
@@ -259,13 +290,10 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     )
     new.cache()
 
-    # 7. next state
-    frontier_next = frontier.join(
-        selected.select("url_canon"), "url_canon", "left_anti"
-    ).unionByName(
-        new.select(
-            "url_canon", "host", "depth", "priority", "discovered_wave", "url_hash"
-        )
+    # 7. next state: leftovers ∪ not-ready ∪ new — no anti-join shuffle;
+    # the selection windows already split the frontier exactly.
+    frontier_next = leftover.unionByName(not_ready).unionByName(
+        new.select(*fr_cols)
     )
     fetched_hosts = (
         selected.select("host").distinct().withColumn("last_fetch_wave", F.lit(wave))
@@ -278,56 +306,89 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         "url_canon", "url_hash", "host", F.lit(wave).alias("first_wave")
     )
 
-    # 8. lineage per (wave, host_shard) — the per-partition audit rows
-    def cnt(df, name):
-        return df.groupBy(_shard(F.col("host"), shard_k).alias("host_shard")).agg(
-            F.count(F.lit(1)).alias(name)
+    # 8. lineage per (wave, host_shard) — the per-partition audit rows.
+    # One union + one groupBy instead of 4 aggs + 3 joins: a single tiny
+    # shuffle of (shard, tag) pairs drawn from already-cached frames.
+    def tagged(df, tag):
+        return df.select(
+            _shard(F.col("host"), shard_k).alias("host_shard"),
+            F.lit(tag).alias("_t"),
         )
 
     lineage = (
-        cnt(ready, "urls_eligible")
-        .join(cnt(selected, "urls_fetched"), "host_shard", "full")
-        .join(cnt(cand, "urls_candidates"), "host_shard", "full")
-        .join(cnt(new, "urls_enqueued"), "host_shard", "full")
-        .na.fill(0)
+        tagged(ready, "e")
+        .unionByName(tagged(selected, "f"))
+        .unionByName(tagged(cand, "c"))
+        .unionByName(tagged(new, "n"))
+        .groupBy("host_shard")
+        .agg(
+            F.sum(F.when(F.col("_t") == "e", 1).otherwise(0)).alias("urls_eligible"),
+            F.sum(F.when(F.col("_t") == "f", 1).otherwise(0)).alias("urls_fetched"),
+            F.sum(F.when(F.col("_t") == "c", 1).otherwise(0)).alias("urls_candidates"),
+            F.sum(F.when(F.col("_t") == "n", 1).otherwise(0)).alias("urls_enqueued"),
+        )
         .withColumn(
             "urls_deduped", F.col("urls_candidates") - F.col("urls_enqueued")
         )
     )
 
-    # 9. atomic commit (snapshot tables + per-wave appends, one publish)
-    staged = {
-        "frontier": cat.stage(frontier_next, "frontier", wave),
-        "host_state": cat.stage(host_state_next, "host_state", wave),
-    }
-    cat.stage_append(new_seen, "seen", wave)
-    cat.stage_append(docs, "docs", wave)
-    cat.stage_append(lineage, "lineage", wave)
+    # 9. materialize the compute core once (fills every cache along the
+    # ready→selected→spans→cand→new chain), then stage all five outputs
+    # CONCURRENTLY — independent jobs over cached inputs interleave their
+    # stages and keep all cores busy instead of running serially. The
+    # atomic publish still happens only after every write lands.
+    new.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_frontier = ex.submit(cat.stage, frontier_next, "frontier", wave)
+        f_hosts = ex.submit(cat.stage, host_state_next, "host_state", wave)
+        futs = [
+            ex.submit(cat.stage_append, new_seen, "seen", wave),
+            ex.submit(cat.stage_append, docs, "docs", wave),
+            ex.submit(cat.stage_append, lineage, "lineage", wave),
+        ]
+        staged = {"frontier": f_frontier.result(), "host_state": f_hosts.result()}
+        for f in futs:
+            f.result()
     cat.commit_wave(wave, staged)
 
-    # incremental driver-side Bloom update (avoids full rebuild next wave)
-    new_hashes = np.array(
-        [r["url_hash"] for r in new.select("url_hash").collect()], dtype=np.int64
-    )
-    stats = {
-        "wave": wave,
-        "fetched": selected.count(),
-        "enqueued": int(len(new_hashes)),
-    }
-    if state._bloom is not None and len(new_hashes):
-        from findopendata_spark.crawler.bloom import _positions
+    # stats from the already-written lineage parquet (one tiny read — no
+    # recount jobs over the big frames)
+    import os as _os
 
-        bits = np.frombuffer(state._bloom, dtype=np.uint8).copy()
-        pos = _positions(
-            new_hashes.view(np.uint64), state._bloom_m, cfg.bloom_num_hashes
-        ).ravel()
-        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        state._bloom = bits.tobytes()
-    state._seen_count += len(new_hashes)
-    for df in (spans, new, ready, selected):
+    lin_agg = (
+        spark.read.parquet(_os.path.join(cat.root, "lineage", f"wave={wave}"))
+        .agg(
+            F.sum("urls_fetched").alias("f"), F.sum("urls_enqueued").alias("e")
+        )
+        .collect()[0]
+    )
+    n_fetched = int(lin_agg["f"] or 0)
+    n_new = int(lin_agg["e"] or 0)
+
+    # incremental Bloom update: shards built executor-side over the cached
+    # `new` frame; only bitsets reach the driver (never the 10^10 keys)
+    if n_new:
+        from findopendata_spark.crawler.bloom import or_delta
+
+        state._bloom = or_delta(
+            state._bloom, new.select("url_hash"), state._bloom_m,
+            cfg.bloom_num_hashes,
+        )
+    state._seen_count += n_new
+    for df in (spans, cand, new, ready, selected, ranked_pre, ranked):
         df.unpersist()
-    stats["frontier"] = cat.read(spark, "frontier").count()
-    return stats
+    if state._frontier_count is None:  # resume: count once
+        state._frontier_count = cat.read(spark, "frontier").count()
+    else:
+        state._frontier_count += n_new - n_fetched
+    return {
+        "wave": wave,
+        "fetched": n_fetched,
+        "enqueued": n_new,
+        "frontier": state._frontier_count,
+    }
 
 
 def crawl(
@@ -337,12 +398,13 @@ def crawl(
     cfg: CrawlConfig | None = None,
     gcfg: G.GraphConfig | None = None,
     log=None,
+    bulk_seeds: int = 0,
 ) -> CrawlState:
     """Driver wave loop with exact resume from the last committed wave."""
     state = CrawlState(
         SnapshotCatalog(state_dir), cfg or CrawlConfig(), gcfg or G.GraphConfig()
     )
-    init_state(spark, state)
+    init_state(spark, state, bulk_seeds=bulk_seeds)
     start = state.cat.current_wave() + 1
     for wave in range(start, waves + 1):
         stats = run_wave(spark, state, wave)

@@ -31,6 +31,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # ParallelGC: URL/string-heavy operators are allocation-bound; G1's
+        # default pacing collapses at 32 local threads (measured 3.3x slower
+        # than ParallelGC on a 10M-row parse_url+xxhash benchmark). Applies
+        # only at JVM launch — benchmarks start each level in a fresh
+        # process. On a real cluster this goes in executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
+        )
         # AQE: runtime coalesce + skew-join split — essential at 100 TB where
         # static partition counts are always wrong for some stage.
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,6 +54,7 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

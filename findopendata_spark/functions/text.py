@@ -79,6 +79,7 @@ def is_numeric_str(v: Column) -> Column:
     """True when the string parses as a float.
 
     Reference: ``findopendata/column_sketch.py:9-15`` (``float(x)``
-    try/except). ``cast("double")`` accepts the same lexical space.
+    try/except). ``try_cast("double")`` accepts the same lexical space
+    and returns NULL (not an ANSI error) on malformed input.
     """
-    return v.cast("double").isNotNull()
+    return v.try_cast("double").isNotNull()

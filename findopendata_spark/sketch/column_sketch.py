@@ -1,0 +1,200 @@
+"""Column-sketch dataflow: one pass over long-form records → sketch rows.
+
+Reference lifecycle (SURVEY §3.3): ``indexing.py:59-192`` streams ≤1M
+records per file through ``TableSketch.update`` →
+``ColumnSketch.update`` (``column_sketch.py:166-197``) and upserts one
+row per (file, column) into ``column_sketches``
+(``sql/create_sketch_tables.sql:13-51``).
+
+Spark re-expression — three shuffles, no per-row Python:
+
+1. **normalize + hash (JVM)**: ``lower(trim(val))`` (C1), empty/numeric
+   flags (F5/F6), murmur3-32 + xxhash64 of the normalized value. SQL
+   NULLs become the string ``"null"`` exactly like the reference's
+   ``json.dumps(None)`` (``column_sketch.py:171-172``).
+2. **partial sketch** (``applyInPandas`` over (file, col, salt)): numpy
+   MinHash partial (K=256, seed 43 permutation table) + HLL registers.
+   The salt bounds group size, so no single Python task ever holds a
+   whole hot column — the same treatment the crawler gives hot hosts.
+3. **final merge** (``applyInPandas`` over (file, col)): elementwise
+   min/max of the partials + HLL estimate.
+4. **counters + ordered sample (JVM)**: hash-agg counters; first-N
+   distinct values in arrival order via two windows over ``ingest_key``
+   (the reference's sample is a set filled in arrival order,
+   ``column_sketch.py:181-183`` — order keys make that reproducible,
+   SURVEY §7 hard-parts list).
+
+Output column names mirror ``create_sketch_tables.sql:13-51``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from findopendata_spark.config import SketchConfig
+from findopendata_spark.sketch.hll import M as HLL_M
+from findopendata_spark.sketch.hll import hll_count, hll_partial
+from findopendata_spark.sketch.minhash import MinHashPermutations, minhash_partial
+
+_PARTIAL_SCHEMA = (
+    "file_id string, column_name string, n long, "
+    "minhash array<long>, hll array<long>"
+)
+_FINAL_SCHEMA = (
+    "file_id string, column_name string, sketch_count long, "
+    "minhash array<long>, hyperloglog array<long>, hll_estimate double"
+)
+
+
+def _partial_fn(cfg: SketchConfig):
+    perms = MinHashPermutations(cfg.minhash_size, cfg.minhash_seed)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        mh = minhash_partial(pdf["h32"].to_numpy(np.int64), perms)
+        hl = hll_partial(pdf["h64"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "file_id": [pdf["file_id"].iloc[0]],
+                "column_name": [pdf["column_name"].iloc[0]],
+                "n": [len(pdf)],
+                "minhash": [mh.astype(np.int64)],
+                "hll": [hl],
+            }
+        )
+
+    return fn
+
+
+def _final_fn(cfg: SketchConfig):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        mh = np.minimum.reduce(
+            [np.asarray(v, dtype=np.uint64) for v in pdf["minhash"]]
+        )
+        hl = np.maximum.reduce([np.asarray(v, dtype=np.int64) for v in pdf["hll"]])
+        return pd.DataFrame(
+            {
+                "file_id": [pdf["file_id"].iloc[0]],
+                "column_name": [pdf["column_name"].iloc[0]],
+                "sketch_count": [int(pdf["n"].sum())],
+                "minhash": [mh.astype(np.int64)],
+                "hyperloglog": [hl],
+                "hll_estimate": [hll_count(hl)],
+            }
+        )
+
+    return fn
+
+
+def sketch_columns(
+    records: DataFrame,
+    cfg: SketchConfig | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """records(file_id, column_name, ingest_key, val) → one sketch row per
+    (file_id, column_name), reference-rule semantics throughout."""
+    cfg = cfg or SketchConfig()
+
+    # 1. normalize + flags + hashes, all JVM-side
+    norm = F.lower(F.trim(F.coalesce(F.col("val"), F.lit("null"))))
+    r = records.select(
+        "file_id",
+        "column_name",
+        "ingest_key",
+        norm.alias("v"),
+    ).withColumns(
+        {
+            "is_empty": F.length("v") == 0,
+            # try_cast: ANSI mode (Spark 4 default) makes plain cast throw
+            "is_numeric": F.col("v").try_cast("double").isNotNull(),
+        }
+    )
+    r.cache()
+
+    # 4a. counters (reference properties: column_sketch.py:72-117)
+    counters = r.groupBy("file_id", "column_name").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum(F.col("is_empty").cast("long")).alias("empty_count"),
+        F.sum(
+            (F.col("is_numeric") & ~F.col("is_empty")).cast("long")
+        ).alias("numeric_count"),
+    )
+
+    nonempty = r.filter(~F.col("is_empty")).withColumns(
+        {"h32": F.hash("v"), "h64": F.xxhash64("v")}
+    )
+
+    # 2-3. partial+final sketches
+    partials = (
+        nonempty.withColumn("_salt", F.pmod(F.col("h64"), F.lit(n_salts)))
+        .groupBy("file_id", "column_name", "_salt")
+        .applyInPandas(_partial_fn(cfg), _PARTIAL_SCHEMA)
+    )
+    sketches = partials.groupBy("file_id", "column_name").applyInPandas(
+        _final_fn(cfg), _FINAL_SCHEMA
+    )
+
+    # 4b. first-N distinct values in arrival order (A6)
+    w_first = Window.partitionBy("file_id", "column_name", "v").orderBy("ingest_key")
+    w_rank = Window.partitionBy("file_id", "column_name").orderBy("ingest_key")
+    firsts = (
+        r.filter(~F.col("is_empty"))
+        .withColumn("_occ", F.row_number().over(w_first))
+        .filter(F.col("_occ") == 1)
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .filter(F.col("_rank") <= cfg.column_sample_size)
+    )
+    samples = firsts.groupBy("file_id", "column_name").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_rank", "v"))),
+            lambda s: s["v"],
+        ).alias("sample")
+    )
+
+    out = (
+        counters.join(samples, ["file_id", "column_name"], "left")
+        .join(sketches, ["file_id", "column_name"], "left")
+        .withColumn(
+            "sample", F.coalesce("sample", F.array().cast("array<string>"))
+        )
+        # distinct-count rule, column_sketch.py:119-125
+        .withColumn(
+            "distinct_count",
+            F.when(
+                F.size("sample") < cfg.column_sample_size,
+                F.size("sample").cast("long"),
+            ).otherwise(
+                F.greatest(
+                    F.size("sample").cast("long"),
+                    F.round("hll_estimate").cast("long"),
+                )
+            ),
+        )
+        # is_numeric rule (>=50% of non-empty), column_sketch.py:111-117
+        .withColumn(
+            "is_numeric",
+            F.when(F.col("count") - F.col("empty_count") == 0, F.lit(False))
+            .otherwise(
+                F.col("numeric_count")
+                >= 0.5 * (F.col("count") - F.col("empty_count"))
+            ),
+        )
+        .withColumn("seed", F.lit(cfg.minhash_seed).cast("long"))
+    )
+    return out.select(
+        "file_id",
+        "column_name",
+        "count",
+        "empty_count",
+        "numeric_count",
+        "is_numeric",
+        "distinct_count",
+        "sample",
+        "minhash",
+        "seed",
+        "hyperloglog",
+    )

@@ -393,6 +393,8 @@ ORACLE_SQL["q08_url_canonicalize"] = f"""
 """
 
 
+from findopendata_spark.queries2 import ORACLE_SQL2, QUERIES2  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_region_revenue": q02_region_revenue,
@@ -408,3 +410,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_event_windows": q12_event_windows,
     "q13_no_order_customers": q13_no_order_customers,
 }
+QUERIES.update(QUERIES2)
+ORACLE_SQL.update(ORACLE_SQL2)

@@ -1,0 +1,322 @@
+"""Second batch of driver-contract queries: sketch / similarity /
+training-data operators (SURVEY §2.4 A3-A8, §2.3 J5/J7, §2.5 W1).
+
+Same oracle-stability rules as queries.py. Entries with oracle None are
+rows-only (non-SQL-expressible: MinHash/LSH internals), covered instead
+by tests/test_sketch.py parity tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from findopendata_spark.config import SketchConfig
+from findopendata_spark.sketch.column_sketch import sketch_columns
+from findopendata_spark.sketch.lsh import joinable_column_search
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_records(docs: DataFrame) -> DataFrame:
+    """Unpivot documents into the long (file, column, ingest_key, val)
+    shape the sketcher consumes (reference: parsed record streams,
+    ``indexing.py:21-56``). Bounded-cardinality columns only, so the
+    distinct-count rule stays in its exact (< sample_size) branch."""
+    return docs.selectExpr(
+        "doc_id as ingest_key",
+        "stack(3, 'lang', lang, 'source', source, "
+        "'mod7', cast(doc_id % 7 as string)) as (column_name, val)",
+    ).withColumn("file_id", F.lit("documents"))
+
+
+def q14_column_sketch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full column-sketch counter set via the sketch engine (A3/A4 rules:
+    count/empty/numeric/is_numeric/distinct, ``column_sketch.py:72-125``)."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    sk = sketch_columns(_doc_records(load(spark, sf_dir, "documents")),
+                        SketchConfig(), n_salts=4)
+    return sk.select(
+        "file_id", "column_name", "count", "empty_count", "numeric_count",
+        "is_numeric", "distinct_count",
+    )
+
+
+def q15_first_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-distinct-in-arrival-order per group (A6 semantics,
+    ``column_sketch.py:181-183`` — order-sensitive, pinned by ingest key)."""
+    docs = load(spark, sf_dir, "documents")
+    w_first = Window.partitionBy("lang", "source").orderBy("doc_id")
+    w_rank = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("_occ", F.row_number().over(w_first))
+        .filter(F.col("_occ") == 1)
+        .withColumn("arrival_rank", F.row_number().over(w_rank))
+        .filter(F.col("arrival_rank") <= 3)
+        .select("lang", "source", "arrival_rank")
+    )
+
+
+def q16_joinable_column_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded joinable-column search end to end (J7/C8/C9/W1).
+
+    Non-SQL-expressible (MinHash banding); rows-only driver check.
+    Parity is pinned by tests/test_sketch.py against a scalar oracle.
+
+    Column construction: per-source "dockey" columns (near-unique →
+    passes the indexability predicate F7, ``lshserver/main.go:27-32``);
+    the probe file duplicates the lexicographically-first source's
+    column, so the top hit (J=1, containment 1) is deterministic.
+    """
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("source").alias("file_id"),
+        F.lit("dockey").alias("column_name"),
+        F.col("doc_id").alias("ingest_key"),
+        F.col("doc_id").cast("string").alias("val"),
+    )
+    probe = base.join(
+        base.select(F.min("file_id").alias("file_id")), "file_id"
+    ).withColumn("file_id", F.lit("q_probe"))
+    sk = sketch_columns(base.unionByName(probe), SketchConfig(), n_salts=4).cache()
+    qf = sk.filter(F.col("file_id") == "q_probe")
+    return joinable_column_search(qf, sk, threshold=0.1, k=10).select(
+        "q_file_id", "q_column_name", "file_id", "column_name",
+        "jaccard", "containment", "rank",
+    )
+
+
+def q17_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-set Jaccard similarity search (J5 — the reference's pg_trgm
+    ``%`` theta-join, ``apiserver/main.py:173-207``), query doc vs corpus."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.lower(F.col("text"))) - 2),
+            lambda i: F.substr(F.lower(F.col("text")), i, F.lit(3)),
+        )
+    )
+    g = docs.select("doc_id", grams.alias("g"))
+    q = g.orderBy("doc_id").limit(1).select(
+        F.col("doc_id").alias("q_doc_id"), F.col("g").alias("qg")
+    )
+    inter = F.size(F.array_intersect("g", "qg"))
+    union = F.size("g") + F.size("qg") - inter
+    return (
+        g.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("q_doc_id"))
+        .select(
+            "doc_id",
+            F.round(inter.cast("double") / union, 6).alias("trigram_jaccard"),
+        )
+        .orderBy(F.desc("trigram_jaccard"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q18_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min hash over all char-8-gram digests — the
+    winnowing-style rolling-window fingerprint (training-data op)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    t = F.lower(F.col("text"))
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 7),
+            lambda i: F.md5(F.encode(F.substr(t, i, F.lit(8)), "UTF-8")),
+        )
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def q19_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN partitioning: assign every vector to its nearest of 8
+    centroids (coarse quantizer); per-cell stats. The scale path for
+    similarity search — brute force stays within a cell (q11 is the
+    exact baseline)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    cent = F.broadcast(
+        emb.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("c_id"), F.col("e").alias("c")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "c", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda s, x: s + x * x)
+    )
+    scored = emb.crossJoin(cent).select(
+        "vec_id", "c_id", (dot / (norm(F.col("e")) * norm(F.col("c")))).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return assigned.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cos"), 4).alias("avg_cos"),
+    )
+
+
+def q20_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + typed metadata
+    (training-data op). Payload here is the encoded text (the container
+    has no image libs — decode stubs live in multimodal.py); byte length
+    and digest are computed on the real binary column."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    kind = (
+        F.when(F.col("source") == "web", "image")
+        .when(F.col("source") == "api", "audio")
+        .otherwise("text")
+    )
+    return docs.select(
+        "doc_id",
+        kind.alias("media_kind"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via 30-min gap rule (streaming-state analog,
+    SURVEY §2.8) — lag + running sum of session starts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES2 = {
+    "q14_column_sketch_counters": q14_column_sketch_counters,
+    "q15_first_n_sample": q15_first_n_sample,
+    "q16_joinable_column_search": q16_joinable_column_search,
+    "q17_trigram_similarity": q17_trigram_similarity,
+    "q18_winnow_fingerprint": q18_winnow_fingerprint,
+    "q19_ann_ivf": q19_ann_ivf,
+    "q20_media_manifest": q20_media_manifest,
+    "q21_sessionize": q21_sessionize,
+}
+
+ORACLE_SQL2: dict[str, str | None] = {
+    "q14_column_sketch_counters": """
+        WITH rec AS (
+            SELECT doc_id AS ingest_key, 'lang' AS column_name,
+                   lower(trim(lang)) AS v FROM documents
+            UNION ALL
+            SELECT doc_id, 'source', lower(trim(source)) FROM documents
+            UNION ALL
+            SELECT doc_id, 'mod7', lower(trim(CAST(doc_id % 7 AS VARCHAR)))
+            FROM documents
+        )
+        SELECT 'documents' AS file_id, column_name,
+               CAST(count(*) AS BIGINT) AS count,
+               CAST(sum(CASE WHEN v = '' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS empty_count,
+               CAST(sum(CASE WHEN v <> '' AND try_cast(v AS DOUBLE) IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS numeric_count,
+               (sum(CASE WHEN v <> '' AND try_cast(v AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END)
+                >= 0.5 * (count(*) - sum(CASE WHEN v = '' THEN 1 ELSE 0 END)))
+                   AS is_numeric,
+               CAST(count(DISTINCT CASE WHEN v <> '' THEN v END) AS BIGINT)
+                   AS distinct_count
+        FROM rec GROUP BY column_name
+    """,
+    "q15_first_n_sample": """
+        WITH firsts AS (
+            SELECT lang, source, doc_id,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY doc_id) AS _occ
+            FROM documents
+        )
+        SELECT lang, source, arrival_rank FROM (
+            SELECT lang, source,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS arrival_rank
+            FROM firsts WHERE _occ = 1
+        ) WHERE arrival_rank <= 3
+    """,
+    "q16_joinable_column_search": None,  # MinHash/LSH: rows-only
+    "q17_trigram_similarity": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, length(lower(text)) - 2),
+                       i -> substr(lower(text), i, 3))) AS g
+            FROM documents WHERE length(text) >= 3
+        ), q AS (
+            SELECT doc_id AS q_doc_id, g AS qg FROM g ORDER BY doc_id LIMIT 1
+        )
+        SELECT doc_id,
+               round(CAST(len(list_intersect(g, qg)) AS DOUBLE) /
+                     (len(g) + len(qg) - len(list_intersect(g, qg))), 6)
+                   AS trigram_jaccard
+        FROM g, q
+        WHERE doc_id <> q_doc_id
+        ORDER BY trigram_jaccard DESC, doc_id ASC
+        LIMIT 10
+    """,
+    "q18_winnow_fingerprint": """
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, length(lower(text)) - 7),
+                   i -> md5(substr(lower(text), i, 8)))) AS fingerprint
+        FROM documents WHERE length(text) >= 8
+    """,
+    "q19_ann_ivf": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS c_id, e AS c FROM e ORDER BY vec_id LIMIT 8
+        ), scored AS (
+            SELECT vec_id, c_id,
+                   list_dot_product(e, c) /
+                   (sqrt(list_dot_product(e, e)) *
+                    sqrt(list_dot_product(c, c))) AS cos
+            FROM e CROSS JOIN cent
+        ), assigned AS (
+            SELECT vec_id, c_id, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, c_id ASC) AS rn
+            FROM scored
+        )
+        SELECT c_id, CAST(count(*) AS BIGINT) AS n_members,
+               round(avg(cos), 4) AS avg_cos
+        FROM assigned WHERE rn = 1 GROUP BY c_id
+    """,
+    "q20_media_manifest": """
+        SELECT doc_id,
+               CASE WHEN source = 'web' THEN 'image'
+                    WHEN source = 'api' THEN 'audio'
+                    ELSE 'text' END AS media_kind,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    "q21_sessionize": """
+        WITH marked AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM marked GROUP BY user_id
+    """,
+}

@@ -30,6 +30,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_current.json"
 
@@ -86,6 +87,48 @@ class SnapshotCatalog:
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)
         return snap
+
+    # -- keyed upsert (MERGE INTO semantics) --------------------------------
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        ts_col: str | None = None,
+    ) -> None:
+        """Iceberg-style ``MERGE INTO table USING updates ON keys``.
+
+        WHEN MATCHED: the update wins — unless ``ts_col`` is given, in
+        which case the row with the greater timestamp wins (the
+        reference's conditional upsert + freshness rule, S16/F3,
+        ``ckan_crawler.py:52-58`` + ``:161-171``). WHEN NOT MATCHED:
+        insert. Copy-on-write snapshot commit; on a real cluster this is
+        one Iceberg MERGE statement.
+        """
+        from pyspark.sql import Window
+
+        current = self.read(spark, table)
+        if current is None:
+            combined = updates.withColumn("_src", F.lit(1))
+        else:
+            combined = current.withColumn("_src", F.lit(0)).unionByName(
+                updates.withColumn("_src", F.lit(1))
+            )
+        order = (
+            [F.col(ts_col).desc_nulls_last(), F.col("_src").desc()]
+            if ts_col
+            else [F.col("_src").desc()]
+        )
+        w = Window.partitionBy(*keys).orderBy(*order)
+        merged = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        wave = self.current_wave() + 1
+        snap = self.stage(merged, table, wave)
+        self.commit_wave(wave, {table: snap})
 
     # -- append-only tables (seen / docs / lineage) -------------------------
     # One immutable parquet dir per wave (``<table>/wave=<k>``); readers

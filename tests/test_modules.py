@@ -1,0 +1,252 @@
+"""Tests for sources / metadata / sinks / streaming / multimodal / dedup."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from findopendata_spark.catalog import SnapshotCatalog
+from findopendata_spark.dedup import (
+    exact_dup_groups,
+    near_dup_pairs,
+    shingles_expr,
+    simhash64,
+    tokens_expr,
+)
+from findopendata_spark.metadata import (
+    build_packages,
+    freshness_filter,
+    stale_work_list,
+)
+from findopendata_spark.multimodal import media_features
+from findopendata_spark.sinks import write_avro, write_csv, write_json_gzip
+from findopendata_spark.sources.csv_blobs import parse_csv_blob, parse_csv_blobs
+from findopendata_spark.streaming import windowed_event_counts
+
+
+# ---------------------------------------------------------------- CSV (S12)
+
+def test_csv_header_detected():
+    content = "city,population\nBerlin,3600000\nParis,2100000\n".encode()
+    headers, rows = parse_csv_blob("f", content)
+    assert headers == ["city", "population"]
+    assert list(rows) == [["Berlin", "3600000"], ["Paris", "2100000"]]
+
+
+def test_csv_latin1_encoding():
+    content = "name;región\nJosé;Andalucía\n".encode("iso-8859-1")
+    headers, rows = parse_csv_blob("f", content)
+    assert headers == ["name", "región"]
+    assert list(rows) == [["José", "Andalucía"]]
+
+
+def test_csv_headerless_defaults():
+    content = "1,2,3\n4,5,6\n".encode()
+    headers, rows = parse_csv_blob("f", content)
+    assert headers == ["Column-0", "Column-1", "Column-2"]
+    assert len(list(rows)) == 2
+
+
+def test_csv_header_not_first_row():
+    content = "1,2\na,b\nx,y\n".encode()
+    headers, rows = parse_csv_blob("f", content)
+    assert headers == ["a", "b"]
+    assert list(rows) == [["x", "y"]]
+
+
+def test_csv_min_headers():
+    with pytest.raises(ValueError):
+        parse_csv_blob("f", b"only\nv\n")
+
+
+def test_csv_blobs_distributed(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"t{i}.csv").write_text(f"a,b\nr{i}1,r{i}2\nr{i}3,r{i}4\n")
+    bin_df = spark.read.format("binaryFile").load(str(tmp_path / "*.csv"))
+    rec = parse_csv_blobs(bin_df)
+    rows = rec.collect()
+    assert len(rows) == 3 * 2 * 2  # 3 files x 2 rows x 2 cols
+    assert {r["column_name"] for r in rows} == {"a", "b"}
+    one = [r for r in rows if r["file_id"].endswith("t1.csv")]
+    assert sorted((r["ingest_key"], r["column_pos"], r["val"]) for r in one) == [
+        (0, 0, "r11"), (0, 1, "r12"), (1, 0, "r13"), (1, 1, "r14"),
+    ]
+
+
+# ------------------------------------------------------- catalog MERGE (S16)
+
+def test_merge_upsert_freshness(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [("k1", "old", 100), ("k2", "keep", 200)], "key string, v string, ts long"
+    )
+    cat.merge_upsert(spark, "t", base, ["key"])
+    upd = spark.createDataFrame(
+        [("k1", "new", 150), ("k2", "stale", 50), ("k3", "ins", 10)],
+        "key string, v string, ts long",
+    )
+    cat.merge_upsert(spark, "t", upd, ["key"], ts_col="ts")
+    got = {r["key"]: (r["v"], r["ts"]) for r in cat.read(spark, "t").collect()}
+    assert got == {"k1": ("new", 150), "k2": ("keep", 200), "k3": ("ins", 10)}
+
+
+# ----------------------------------------------------------- metadata (§3.2)
+
+def test_build_packages_strip_and_coalesce(spark):
+    raw = spark.createDataFrame(
+        [
+            ("https://p0", "a", "<b>Hello</b>  World", "<p>desc</p>",
+             ["t1", "t2"], "Org", None, "2020-01-02 03:04:05",
+             "2019-01-01 00:00:00"),
+        ],
+        "endpoint string, package_id string, title string, notes string, "
+        "tags array<string>, organization_title string, modified string, "
+        "metadata_modified string, metadata_created string",
+    )
+    row = build_packages(raw).collect()[0]
+    assert row["title"] == "Hello World"
+    assert row["description"] == "desc"
+    assert str(row["modified"]).startswith("2020-01-02")
+    assert len(row["id"]) == 64  # content-derived sha2, not uuid-v1mc
+
+
+def test_stale_and_freshness_rules(spark):
+    items = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 100)], "key string, modified long"
+    )
+    done = spark.createDataFrame(
+        [("a", 50), ("b", 150)], "key string, updated long"
+    )
+    stale = {r["key"] for r in stale_work_list(items, done, "key").collect()}
+    assert stale == {"a", "c"}  # a modified after done; c never done
+    fresh = {r["key"] for r in freshness_filter(items, done, "key").collect()}
+    assert fresh == {"a", "c"}
+
+
+# ----------------------------------------------------------------- sinks
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    p = str(tmp_path / "j")
+    write_json_gzip(df, p)
+    files = glob.glob(os.path.join(p, "*.json.gz"))
+    assert files
+    rows = []
+    for fn in files:
+        with gzip.open(fn, "rt") as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    write_csv(df, str(tmp_path / "c"))
+    back = spark.read.option("header", "true").csv(str(tmp_path / "c"))
+    assert back.count() == 2
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "a"))
+
+
+# ----------------------------------------------------------------- streaming
+
+def test_streaming_matches_batch(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    windowed_event_counts(spark, src, ckpt, out)
+    got = spark.read.parquet(out)
+    # append mode only emits windows the watermark has passed; the final
+    # window(s) within `watermark` of max event time stay in state
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("c")
+    ).collect()[0]["c"]
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .filter(F.col("win.end") <= F.lit(cutoff))
+    )
+    finalized = got.filter(F.col("win_end") <= F.lit(cutoff))
+    assert finalized.count() == batch.count()
+    j = finalized.select("win_start", "event_type", "cnt").exceptAll(
+        batch.select(F.col("win.start").alias("win_start"), "event_type", "cnt")
+    )
+    assert j.count() == 0
+    assert got.count() >= batch.count()  # emitted set ⊇ finalized set
+
+
+# ----------------------------------------------------------------- multimodal
+
+def test_media_features_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-1")), (2, "audio", bytearray(b""))],
+        "doc_id long, media_kind string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in media_features(docs, buckets=4).collect()}
+    import hashlib
+
+    assert rows[1]["digest"] == hashlib.sha256(b"payload-1").hexdigest()
+    assert rows[1]["n_bytes"] == 9 and rows[2]["n_bytes"] == 0
+    assert rows[1]["decoder"] == "stub-sha256"
+    assert len(rows[1]["feature"]) == 8
+    # deterministic: rerun gives identical features
+    rows2 = {r["doc_id"]: r for r in media_features(docs, buckets=4).collect()}
+    assert rows2[1]["feature"] == rows[1]["feature"]
+
+
+# ----------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),     # near dup of 1
+        (4, "completely different words appear in this unrelated document text here now"),
+        (5, "yet another entirely distinct body of text with no shared shingles at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, dup_docs):
+    groups = exact_dup_groups(dup_docs).collect()
+    assert len(groups) == 1 and groups[0]["n"] == 2 and groups[0]["keeper"] == 1
+
+
+def test_near_dup_pairs_match_exact_pairwise(spark, dup_docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in near_dup_pairs(dup_docs, threshold=0.5).collect()
+    }
+    # independent exact pairwise oracle
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in dup_docs.select(
+            "doc_id", shingles_expr(F.col("text")).alias("sh")
+        ).collect()
+    }
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sh[a] | sh[b]
+            j = len(sh[a] & sh[b]) / len(u) if u else 0.0
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_simhash_hamming_property(spark, dup_docs):
+    hashes = dup_docs.select(
+        "doc_id", F.transform(tokens_expr(F.col("text")), lambda t: F.xxhash64(t)).alias("hashes")
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(hashes).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])  # near dup closer than unrelated
+    assert ham(sh[1], sh[3]) <= 16

@@ -67,18 +67,34 @@ def bench_crawl(cores: int) -> dict:
     # AQE off for the crawl: its per-shuffle materialization barriers
     # serialize this many-stage pipeline; partition counts and skew are
     # already managed explicitly (salting + two-phase top-k).
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     spark = get_spark(
         f"bench-crawl-{cores}",
         cores=cores,
-        shuffle_partitions=cores,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # tmpfs shuffle dir: isolates the measurement from the noisy
+            # shared-host disk; the crawl state dir lives there too
+            "spark.local.dir": os.path.join(shm, "spark-local"),
+        },
     )
-    cfg = CrawlConfig(per_host_wave_budget=12_000, hot_host_salt=32)
-    gcfg = GraphConfig(graph_size=5_000_000, out_links_min=8, out_links_max=24)
-    d = tempfile.mkdtemp(prefix=f"bench-crawl-{cores}-")
+    cfg = CrawlConfig(per_host_wave_budget=30_000, hot_host_salt=32)
+    gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)
+    # warmup: a miniature crawl with identical query shapes, so JIT/
+    # whole-stage-codegen compilation (cold-JVM cost, core-count
+    # independent — measured ~50 s) is excluded from the measurement.
+    # A real cluster amortizes this across long-lived executors.
+    wd = tempfile.mkdtemp(prefix=f"bench-warm-{cores}-", dir=shm)
+    crawl(spark, wd, waves=1,
+          cfg=CrawlConfig(per_host_wave_budget=500, hot_host_salt=32),
+          gcfg=gcfg, bulk_seeds=10_000)
+    shutil.rmtree(wd, ignore_errors=True)
+
+    d = tempfile.mkdtemp(prefix=f"bench-crawl-{cores}-", dir=shm)
     try:
         t0 = time.time()
-        state = crawl(spark, d, waves=2, cfg=cfg, gcfg=gcfg, bulk_seeds=300_000)
+        state = crawl(spark, d, waves=1, cfg=cfg, gcfg=gcfg, bulk_seeds=700_000)
         wall = time.time() - t0
         lin = state.cat.read_appended(spark, "lineage")
         agg = lin.agg(

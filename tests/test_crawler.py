@@ -192,6 +192,28 @@ def test_resume_exactness(spark, crawl_state, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_span_sequence_equality_vs_fixture(spark, crawl_state):
+    """Per-row invariant (BASELINE.json input_hint): span sequences
+    (kind, text, media_ref, order) of the first two waves are byte-equal
+    to the committed fixture parquet — guards the doc generator, the
+    fetch UDF, and the JVM-side span assembly against regressions."""
+    docs = crawl_state.cat.read_appended(spark, "docs").filter(F.col("wave") <= 2)
+    flat = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "s")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    fixture = spark.read.parquet(
+        "tests/fixtures/docs_spans_w2.parquet"
+    ).select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+    assert flat.count() == fixture.count()
+    assert flat.exceptAll(fixture).count() == 0
+    assert fixture.exceptAll(flat).count() == 0
+
+
 def test_rerun_wave_is_idempotent(spark, crawl_state, tmp_path):
     """Property: crawling to wave k then asking for k again adds nothing."""
     st = crawl_state

@@ -1,0 +1,60 @@
+"""Physical-plan quality gates (SURVEY §4): the optimizations we rely on
+at 100 TB must actually appear in the plans — pushdown, pruning,
+broadcasts — so a regression that silently drops one fails CI."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches the scan
+    # column pruning: only the needed lineitem columns are read
+    assert "l_comment" not in plan and "l_orderkey" not in plan
+
+
+def test_q02_broadcasts_small_dims(spark):
+    plan = plan_of(spark, "q02_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_q30_five_way_join_broadcasts(spark):
+    plan = plan_of(spark, "q30_region_brand_revenue")
+    assert plan.count("BroadcastHashJoin") >= 5
+    # region filter pushed into the region scan, below the joins
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_q07_single_hash_agg_shuffle(spark):
+    import re
+
+    plan = plan_of(spark, "q07_exact_dedup")
+    # exactly one Exchange NODE (formatted output lists each node twice:
+    # once in the tree, once in the details section)
+    nodes = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(nodes) == 1  # one shuffle: the fingerprint agg
+    assert "HashAggregate" in plan
+
+
+def test_q13_anti_join_pushdown(spark):
+    plan = plan_of(spark, "q13_no_order_customers")
+    assert "GreaterThan(o_totalprice,300000.0)" in plan
+    assert "LeftAnti" in plan

@@ -44,6 +44,10 @@ class CrawlConfig:
     schema_inference_head: int = 25_000  # parsers/avro.py:87
 
     # politeness / frontier (north-rule additions; no reference analog)
+    # priority_mode: 'bfs' = 1/(depth+1) (reference page-order analog,
+    # used by the ordering-parity tests); 'richness' = parent-document
+    # metadata richness drives child priority (north-star scoring rule)
+    priority_mode: str = "bfs"
     default_crawl_delay_s: float = 1.0
     per_host_wave_budget: int = 50      # max URLs fetched per host per wave
     host_shards: int = 32               # bucket(K, host) partition count

@@ -262,6 +262,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     links = (
         spans.filter(F.col("kind") == "link")
         .select(
+            F.col("url_canon").alias("parent_url"),
             canonicalize_url(F.col("text")).alias("url_canon"),
             (F.col("depth") + 1).alias("depth"),
         )
@@ -275,13 +276,41 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         .drop("disallow_prefix")
     )
 
-    # intra-wave dedup: min depth wins (multiple parents)
-    cand = (
-        allowed.groupBy("url_canon", "host")
-        .agg(F.min("depth").alias("depth"))
-        .withColumn("priority", F.lit(1.0) / (F.col("depth") + 1))
-        .withColumn("url_hash", F.xxhash64("url_canon"))
-    )
+    # intra-wave dedup: min depth wins (multiple parents); priority per
+    # cfg.priority_mode — 'richness' scores a child by its best parent's
+    # metadata richness (text + 2x media span counts, the analog of the
+    # reference preferring packages with fuller metadata), damped by
+    # depth; 'bfs' is pure 1/(depth+1) (visit-ordering parity mode).
+    if cfg.priority_mode == "richness":
+        richness = (
+            spans.groupBy(F.col("url_canon").alias("_parent"))
+            .agg(
+                (
+                    F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+                    + 2 * F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+                ).cast("double").alias("_rich")
+            )
+        )
+        links_scored = allowed.join(
+            richness, allowed["parent_url"] == richness["_parent"], "left"
+        ).drop("_parent")
+        cand = (
+            links_scored.groupBy("url_canon", "host")
+            .agg(
+                F.min("depth").alias("depth"),
+                F.max(F.coalesce("_rich", F.lit(0.0))).alias("_rich"),
+            )
+            .withColumn("priority", F.col("_rich") / (F.col("depth") + 1))
+            .drop("_rich")
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+        )
+    else:
+        cand = (
+            allowed.groupBy("url_canon", "host")
+            .agg(F.min("depth").alias("depth"))
+            .withColumn("priority", F.lit(1.0) / (F.col("depth") + 1))
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+        )
 
     # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
     bloom_bytes, m_bits = _get_bloom(spark, state, seen)

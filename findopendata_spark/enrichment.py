@@ -1,0 +1,106 @@
+"""NLP enrichment with a lazy per-executor model (SURVEY §2.7 C6, §2.4 A8).
+
+The reference runs spaCy over titles/descriptions inside Celery workers,
+sharing the model copy-on-write across forked processes
+(``metadata.py:50-54``, ``models/word_vector_models.py:1-11``,
+``models/__init__.py:5-19``). The Spark equivalent of that pattern is a
+module-level lazy singleton INSIDE the UDF's module: each Python worker
+loads the model once, every Arrow batch reuses it.
+
+spaCy isn't in this container, so the model is pluggable:
+``_load_model()`` returns the real pipeline when importable, else a
+deterministic hash-vector stand-in (clearly marked) that preserves the
+dataflow — vector dimension, token iteration, OOV accounting — so tests
+exercise the real Spark plumbing and a deployment only swaps the loader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VEC_DIM = 16
+_MODEL = None  # per-executor lazy singleton (one load per Python worker)
+
+
+class _HashVectorModel:
+    """Deterministic stand-in: token vector = splitmix64-seeded floats;
+    tokens shorter than 3 chars count as out-of-vocabulary (a fixed,
+    documented rule so oov accounting is testable)."""
+
+    name = "hash-vector-stub"
+
+    def vectors(self, tokens: list[str]) -> tuple[np.ndarray, int]:
+        from findopendata_spark.crawler.graph import splitmix64
+
+        vecs, oov = [], 0
+        for t in tokens:
+            if len(t) < 3:
+                oov += 1
+                continue
+            seed = np.frombuffer(
+                t.encode("utf-8")[:8].ljust(8, b"\0"), dtype=np.uint64
+            )
+            base = splitmix64(seed + np.arange(VEC_DIM, dtype=np.uint64))
+            vecs.append((base.astype(np.float64) / 2**64).astype(np.float32))
+        if not vecs:
+            return np.zeros((0, VEC_DIM), dtype=np.float32), oov
+        return np.stack(vecs), oov
+
+
+def _load_model():
+    global _MODEL
+    if _MODEL is None:
+        try:  # real pipeline when available (not in this container)
+            import spacy  # noqa: F401
+
+            _MODEL = spacy.load("en_core_web_md")  # pragma: no cover
+        except Exception:  # noqa: BLE001
+            _MODEL = _HashVectorModel()
+    return _MODEL
+
+
+def enrich_titles(df: DataFrame, text_col: str = "title") -> DataFrame:
+    """Add word_vector (mean token vector, A8) + oov_count (C6 accounting)
+    via an Arrow-batched pandas UDF; the model loads once per executor."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_t = StructType(
+        [
+            StructField("word_vector", ArrayType(FloatType())),
+            StructField("oov_count", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def enrich(texts: pd.Series) -> pd.DataFrame:
+        model = _load_model()  # lazy singleton — loaded once per worker
+        vec_out, oov_out = [], []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if hasattr(model, "vectors"):
+                vecs, oov = model.vectors(toks)
+            else:  # real spaCy pipeline   # pragma: no cover
+                doc = model(t or "")
+                vv = [tok.vector for tok in doc if tok.has_vector]
+                vecs = np.stack(vv) if vv else np.zeros((0, VEC_DIM))
+                oov = sum(1 for tok in doc if not tok.has_vector)
+            mean = (
+                vecs.mean(axis=0) if len(vecs) else np.zeros(VEC_DIM, np.float32)
+            )
+            vec_out.append([float(x) for x in mean])
+            oov_out.append(int(oov))
+        return pd.DataFrame({"word_vector": vec_out, "oov_count": oov_out})
+
+    return df.withColumn("_e", enrich(F.col(text_col))).select(
+        "*", F.col("_e.word_vector").alias("word_vector"),
+        F.col("_e.oov_count").alias("oov_count"),
+    ).drop("_e")

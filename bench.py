@@ -153,9 +153,11 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     if os.environ.get("SPARK_GRAFT_BENCH_CRAWL", "1") != "0":
-        # best-of-2 per level: this sandbox host shows ±50% interference
-        # noise between identical runs; min-wall is the least-disturbed run
-        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        # SPARK_GRAFT_BENCH_RUNS=2 → best-of-N per level (this host shows
+        # ±20-50% interference between identical runs; max-throughput is
+        # the least-disturbed run). Default 1 keeps the per-round bench
+        # under ~6 min.
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
         lo = max(
             (_crawl_subprocess(N_LO) for _ in range(runs)),
             key=lambda r: r["throughput_urls_per_s"],

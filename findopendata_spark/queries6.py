@@ -71,7 +71,21 @@ def q38_supplier_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_token_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic API-token rotation (W5 — the reference rotates
+    Socrata app tokens randomly, ``socrata_crawler.py:149-153``; we pin
+    it to a hash of the host so retries reuse the same token)."""
+    docs = load(spark, sf_dir, "documents")
+    token_idx = F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3
+    return (
+        docs.select("source", token_idx.alias("token_idx"))
+        .groupBy("source", "token_idx")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+    )
+
+
 QUERIES6 = {
+    "q39_token_rotation": q39_token_rotation,
     "q35_rollup_revenue": q35_rollup_revenue,
     "q36_exists_orders": q36_exists_orders,
     "q37_multi_distinct": q37_multi_distinct,
@@ -79,6 +93,12 @@ QUERIES6 = {
 }
 
 ORACLE_SQL6: dict[str, str | None] = {
+    "q39_token_rotation": """
+        SELECT source,
+               ascii(substr(md5(source), 1, 1)) % 3 AS token_idx,
+               count(*) AS n_requests
+        FROM documents GROUP BY source, token_idx
+    """,
     "q35_rollup_revenue": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,

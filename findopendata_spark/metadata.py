@@ -75,6 +75,54 @@ def build_package_files(resources: DataFrame) -> DataFrame:
     )
 
 
+def split_by_format(
+    resources: DataFrame, accepted: tuple[str, ...] = ("csv",)
+) -> DataFrame:
+    """Format-whitelist routing (F2, ``ckan_crawler.py:25,79-85``):
+    accepted formats get action='download', everything else
+    action='register' (metadata only, no blob fetch)."""
+    fmt = F.lower(F.trim(F.col("format")))
+    return resources.withColumn(
+        "action",
+        F.when(fmt.isin(*accepted), F.lit("download")).otherwise(
+            F.lit("register")
+        ),
+    )
+
+
+def tag_names(tags_col):
+    """Extract tag names from CKAN-style tag structs (C11,
+    ``metadata.py:55``): ``[{name: ...}, ...] → [name, ...]``, dropping
+    entries without a name."""
+    return F.transform(
+        F.filter(tags_col, lambda t: t["name"].isNotNull()),
+        lambda t: t["name"],
+    )
+
+
+def table_sample(records: DataFrame, n: int = 20) -> DataFrame:
+    """First-n records per file in ingest order (A7,
+    ``table_sketch.py:50-52``; size ``configs-example.yaml:57``) —
+    pivoted back to one struct row per record, column order preserved by
+    ``column_pos`` (the first-record-defines-order rule,
+    ``table_sketch.py:42-43``)."""
+    from pyspark.sql import Window
+
+    first_rows = records.withColumn(
+        "_rk", F.dense_rank().over(
+            Window.partitionBy("file_id").orderBy("ingest_key")
+        )
+    ).filter(F.col("_rk") <= n)
+    return first_rows.groupBy("file_id", "ingest_key").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("column_pos", "column_name", "val"))),
+            lambda s: F.struct(
+                s["column_name"].alias("column_name"), s["val"].alias("val")
+            ),
+        ).alias("record")
+    )
+
+
 def stale_work_list(
     items: DataFrame, done_times: DataFrame, key: str, ts_col: str = "modified",
     done_ts_col: str = "updated",

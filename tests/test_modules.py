@@ -129,6 +129,62 @@ def test_stale_and_freshness_rules(spark):
     assert fresh == {"a", "c"}
 
 
+def test_split_by_format(spark):
+    from findopendata_spark.metadata import split_by_format
+
+    res = spark.createDataFrame(
+        [("r1", " CSV "), ("r2", "json"), ("r3", "csv")],
+        "resource_id string, format string",
+    )
+    got = {r["resource_id"]: r["action"] for r in split_by_format(res).collect()}
+    assert got == {"r1": "download", "r2": "register", "r3": "download"}
+
+
+def test_tag_names_struct_extraction(spark):
+    from findopendata_spark.metadata import tag_names
+
+    df = spark.createDataFrame(
+        [([{"name": "health"}, {"name": None}, {"name": "gov"}],)],
+        "tags array<struct<name:string>>",
+    )
+    row = df.select(tag_names(F.col("tags")).alias("names")).collect()[0]
+    assert row["names"] == ["health", "gov"]
+
+
+def test_table_sample_first_n_ordered(spark):
+    from findopendata_spark.metadata import table_sample
+
+    rows = []
+    for rix in range(5):
+        for cix, col in enumerate(["b_col", "a_col"]):  # order ≠ alphabetical
+            rows.append(("f", rix, col, f"v{rix}{cix}", cix))
+    rec = spark.createDataFrame(
+        rows,
+        "file_id string, ingest_key long, column_name string, val string, "
+        "column_pos int",
+    )
+    out = {r["ingest_key"]: r["record"] for r in table_sample(rec, n=3).collect()}
+    assert sorted(out) == [0, 1, 2]  # first 3 records only
+    # first-record column order preserved (b_col before a_col)
+    assert [c["column_name"] for c in out[0]] == ["b_col", "a_col"]
+    assert [c["val"] for c in out[1]] == ["v10", "v11"]
+
+
+def test_arrays_zip_column_pairs(spark):
+    """C10 (``apiserver/main.py:346-355``): zip column_names with
+    sketch ids into [{column_name, id}] structs."""
+    df = spark.createDataFrame(
+        [(["a", "b"], ["id1", "id2"])],
+        "column_names array<string>, column_sketch_ids array<string>",
+    )
+    out = df.select(
+        F.arrays_zip("column_names", "column_sketch_ids").alias("z")
+    ).collect()[0]["z"]
+    assert [(e["column_names"], e["column_sketch_ids"]) for e in out] == [
+        ("a", "id1"), ("b", "id2"),
+    ]
+
+
 # ----------------------------------------------------------------- sinks
 
 def test_sinks_roundtrip(spark, tmp_path):

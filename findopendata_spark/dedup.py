@@ -35,7 +35,7 @@ from findopendata_spark.sketch.minhash import MAX_HASH, MinHashPermutations
 # ---------------------------------------------------------------------------
 
 def tokens_expr(text):
-    return F.split(F.lower(F.trim(text)), " ")
+    return F.split(F.lower(F.trim(text)), r"\s+")
 
 
 def shingles_expr(text, n: int = 5):
@@ -159,6 +159,7 @@ def near_dup_pairs(
     threshold: float = 0.5,
     num_perm: int = 128,
     shingle_n: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with exact shingle-set Jaccard >= threshold, found via
     MinHash banding (candidate generation) + exact verify.
@@ -167,6 +168,14 @@ def near_dup_pairs(
     the bands surface; with the optimal (b, r) at `threshold`, the miss
     probability for a true pair at J >= 0.85 is < 1e-8 — the standard
     MinHashLSH guarantee (MMDS ch.3).
+
+    Skew guards for the 100 TB shape: docs with an empty shingle set are
+    dropped *before* banding (they would all share the identity signature
+    and re-create an O(n^2) bucket, yet can never reach a threshold > 0
+    because verify requires union > 0). ``bucket_cap``, when set, drops
+    band buckets holding more than that many docs — a recall/cost knob
+    for adversarial corpora (a capped bucket means those docs collide on
+    1 of ``b`` bands; the other b-1 bands still surface true pairs).
     """
     from findopendata_spark.sketch.lsh import optimal_param
 
@@ -174,6 +183,7 @@ def near_dup_pairs(
     sh = docs.select(
         F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("sh")
     ).withColumn("hashes", F.transform("sh", lambda s: F.xxhash64(s)))
+    sh = sh.filter(F.size("sh") > 0)
     sh.cache()
     sigs = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
     band_hashes = F.transform(
@@ -183,6 +193,11 @@ def near_dup_pairs(
     bands = sigs.select(
         id_col, F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+    if bucket_cap is not None:
+        wcnt = Window.partitionBy("band_idx", "band_hash")
+        bands = bands.withColumn("bucket_n", F.count(F.lit(1)).over(wcnt)).filter(
+            F.col("bucket_n") <= bucket_cap
+        ).drop("bucket_n")
     left = bands.withColumnRenamed(id_col, "a")
     right = bands.withColumnRenamed(id_col, "b")
     cand = (

@@ -340,9 +340,9 @@ ORACLE_SQL: dict[str, str] = {
     "q10_lang_quality": """
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
-               sum(CASE WHEN len(string_split(trim(text), ' ')) >= 50
-                        THEN 1 ELSE 0 END) AS n_quality_docs
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN len(string_split(trim(text), ' ')) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs
         FROM documents
         GROUP BY lang
     """,

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from findopendata_spark.config import SketchConfig
 from findopendata_spark.sketch.column_sketch import sketch_columns
-from findopendata_spark.sketch.lsh import joinable_column_search
+from findopendata_spark.sketch.lsh import joinable_column_search_exact
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,15 +60,21 @@ def q15_first_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q16_joinable_column_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded joinable-column search end to end (J7/C8/C9/W1).
+    """LSH-banded joinable-column search, exact-verified (J7/C8/C9/W1).
 
-    Non-SQL-expressible (MinHash banding); rows-only driver check.
-    Parity is pinned by tests/test_sketch.py against a scalar oracle.
+    Candidate generation is MinHash banding (engine-internal, parity
+    pinned by tests/test_sketch.py); the verify stage recomputes Jaccard
+    and true containment exactly from the distinct normalized value sets
+    and drops candidates below threshold, so the emitted quantities are
+    SQL-expressible and the DuckDB oracle checks them exactly (set
+    algebra over grouped distinct values).
 
     Column construction: per-source "dockey" columns (near-unique →
     passes the indexability predicate F7, ``lshserver/main.go:27-32``);
     the probe file duplicates the lexicographically-first source's
-    column, so the top hit (J=1, containment 1) is deterministic.
+    column, so the only >= threshold hit (J=1, containment 1) is
+    deterministic — LSH recall for identical sets is exactly 1 (equal
+    signatures collide in every band).
     """
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = load(spark, sf_dir, "documents")
@@ -81,12 +87,10 @@ def q16_joinable_column_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = base.join(
         base.select(F.min("file_id").alias("file_id")), "file_id"
     ).withColumn("file_id", F.lit("q_probe"))
-    sk = sketch_columns(base.unionByName(probe), SketchConfig(), n_salts=4).cache()
+    records = base.unionByName(probe)
+    sk = sketch_columns(records, SketchConfig(), n_salts=4).cache()
     qf = sk.filter(F.col("file_id") == "q_probe")
-    return joinable_column_search(qf, sk, threshold=0.1, k=10).select(
-        "q_file_id", "q_column_name", "file_id", "column_name",
-        "jaccard", "containment", "rank",
-    )
+    return joinable_column_search_exact(qf, sk, records, threshold=0.1, k=10)
 
 
 def q17_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +253,43 @@ ORACLE_SQL2: dict[str, str | None] = {
             FROM firsts WHERE _occ = 1
         ) WHERE arrival_rank <= 3
     """,
-    "q16_joinable_column_search": None,  # MinHash/LSH: rows-only
+    # Exact-verified search: the only >= 0.1 candidate is the duplicated
+    # min(source) column (cross-source dockey sets are disjoint), so the
+    # oracle computes the exact set quantities directly.
+    "q16_joinable_column_search": """
+        WITH vals AS (
+            SELECT DISTINCT source AS file_id,
+                   lower(trim(CAST(doc_id AS VARCHAR))) AS v
+            FROM documents
+        ), probe AS (
+            SELECT v FROM vals
+            WHERE file_id = (SELECT min(source) FROM documents)
+        ), sizes AS (
+            SELECT file_id, count(*) AS x_size FROM vals GROUP BY file_id
+        ), qn AS (
+            SELECT count(*) AS q_size FROM probe
+        ), inter AS (
+            SELECT file_id, count(*) AS inter
+            FROM vals JOIN probe USING (v) GROUP BY file_id
+        ), scored AS (
+            SELECT s.file_id,
+                   CAST(coalesce(i.inter, 0) AS DOUBLE) /
+                       (s.x_size + qn.q_size - coalesce(i.inter, 0)) AS jaccard,
+                   CAST(coalesce(i.inter, 0) AS DOUBLE) / qn.q_size
+                       AS containment
+            FROM sizes s CROSS JOIN qn
+            LEFT JOIN inter i USING (file_id)
+        )
+        SELECT 'q_probe' AS q_file_id, 'dockey' AS q_column_name,
+               file_id, 'dockey' AS column_name,
+               round(jaccard, 6) AS jaccard,
+               round(containment, 6) AS containment,
+               row_number() OVER (ORDER BY containment DESC, file_id ASC)
+                   AS rank
+        FROM scored
+        WHERE jaccard >= 0.1
+        QUALIFY rank <= 10
+    """,
     "q17_trigram_similarity": """
         WITH g AS (
             SELECT doc_id,

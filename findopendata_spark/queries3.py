@@ -34,15 +34,23 @@ def q22_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: engine-hash-specific;
-    properties pinned in tests/test_modules.py)."""
+    """SimHash per document over md5-derived 60-bit token hashes.
+
+    The token hash is the first 15 hex chars of md5(token) parsed as an
+    integer — a deterministic hash both engines share, so the DuckDB
+    oracle recomputes the identical SimHash exactly (bit b of the
+    fingerprint = sign of the ±1 sum over the token multiset). The
+    engine side stays vectorized: hashing is JVM-side (md5 + conv inside
+    ``transform``), the bit-sum fold is the numpy ``simhash64`` kernel.
+    (xxhash64-based SimHash — the cheaper production variant — keeps its
+    property tests in tests/test_modules.py.)
+    """
     docs = load(spark, sf_dir, "documents")
-    hashes = docs.select(
-        "doc_id",
-        F.transform(tokens_expr(F.col("text")), lambda t: F.xxhash64(t)).alias(
-            "hashes"
-        ),
+    h = F.transform(
+        tokens_expr(F.col("text")),
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
     )
+    hashes = docs.select("doc_id", h.alias("hashes"))
     return simhash64(hashes)
 
 
@@ -113,7 +121,7 @@ QUERIES3 = {
 }
 
 _EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
-_TOKS = "string_split(lower(trim(text)), ' ')"
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 _PUNCT_SQL = PUNCT_CLASS.replace("'", "''")  # SQL string-literal escaping
 
 ORACLE_SQL3: dict[str, str | None] = {
@@ -133,7 +141,29 @@ ORACLE_SQL3: dict[str, str | None] = {
           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
-    "q23_simhash": None,  # engine-hash-specific: rows-only
+    # Exact SimHash twin: same md5-derived 60-bit token hash, same
+    # sign-of-sum rule per bit, computed with set algebra in DuckDB.
+    "q23_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(1, 15),
+                       p -> CAST(strpos('0123456789abcdef',
+                                        substr(md5(tok), p, 1)) - 1 AS BIGINT)
+                            << (4 * (15 - p)))) AS BIGINT) AS h
+            FROM toks
+        ), bits AS (
+            SELECT doc_id, t.b AS bit,
+                   sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th CROSS JOIN generate_series(0, 59) AS t(b)
+            GROUP BY doc_id, t.b
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
     "q24_quality_scores": f"""
         WITH f AS (
             SELECT doc_id, text,

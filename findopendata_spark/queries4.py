@@ -115,10 +115,12 @@ QUERIES4 = {
 ORACLE_SQL4: dict[str, str | None] = {
     "q29_keyword_search": """
         SELECT doc_id,
-               CAST(len(list_intersect(string_split(lower(trim(text)), ' '),
+               CAST(len(list_intersect(
+                    string_split_regex(lower(trim(text)), '\\s+'),
                     ['data','table','query','spark'])) AS INT) AS score
         FROM documents
-        WHERE len(list_intersect(string_split(lower(trim(text)), ' '),
+        WHERE len(list_intersect(
+                  string_split_regex(lower(trim(text)), '\\s+'),
                   ['data','table','query','spark'])) > 0
         ORDER BY score DESC, doc_id ASC
         LIMIT 20
@@ -156,7 +158,7 @@ ORACLE_SQL4: dict[str, str | None] = {
     """,
     "q32_resource_export": """
         SELECT source, lang, count(*) AS n_docs, min(doc_id) AS first_doc,
-               sum(n_chars) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source, lang
     """,
     "q33_json_props": """

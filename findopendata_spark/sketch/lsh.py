@@ -100,15 +100,22 @@ def joinable_column_search(
     num_perm: int = 256,
     threshold: float = 0.1,
     k: int = 50,
+    original_hosts: list[str] | None = None,
+    host_col: str = "file_id",
 ) -> DataFrame:
     """Top-k joinable columns per query column (J7 + W1 end to end).
 
     Returns (q_file_id, q_column_name, file_id, column_name, jaccard,
     containment, rank). Excludes candidates from the query's own file
-    (``apiserver/main.py:456-458``).
+    (``apiserver/main.py:456-458``). ``original_hosts`` restricts
+    candidates to the given host list (F8, ``apiserver/main.py:452-454``
+    — ``AND p.original_host in %s``); ``host_col`` names the sketch
+    column that carries the host.
     """
     b, r = optimal_param(threshold, num_perm)
     idx = indexable(index_sketches)
+    if original_hosts is not None:
+        idx = idx.filter(F.col(host_col).isin(list(original_hosts)))
     q_bands = bands_table(query_sketches, b, r).withColumnsRenamed(
         {"file_id": "q_file_id", "column_name": "q_column_name"}
     )
@@ -138,6 +145,101 @@ def joinable_column_search(
             "containment",
             containment_expr(F.col("jaccard"), F.col("x_size"), F.col("q_size")),
         )
+    )
+    w = Window.partitionBy("q_file_id", "q_column_name").orderBy(
+        F.desc("containment"), F.asc("file_id"), F.asc("column_name")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_file_id", "q_column_name", "file_id", "column_name",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("containment", 6).alias("containment"),
+            "rank",
+        )
+    )
+
+
+def joinable_column_search_exact(
+    query_sketches: DataFrame,
+    index_sketches: DataFrame,
+    records: DataFrame,
+    num_perm: int = 256,
+    threshold: float = 0.1,
+    k: int = 50,
+    original_hosts: list[str] | None = None,
+) -> DataFrame:
+    """LSH candidate generation + *exact* set verification.
+
+    Same candidate pipeline as :func:`joinable_column_search` (bands
+    equi-join, indexability, self-exclusion, host filter), but the
+    verify stage recomputes Jaccard and containment exactly from the
+    columns' distinct normalized value sets, then drops candidates below
+    ``threshold`` — so the output is fully deterministic and
+    SQL-expressible (the driver oracles it with ``list_intersect``-style
+    set algebra; the reference's estimate-based verify lives in
+    :func:`joinable_column_search`).
+
+    Scale shape: the intersection is an equi-join on the normalized
+    value between the probe's distinct values and the candidate columns'
+    distinct values — never a per-column array collect. At 100 TB the
+    value join touches only candidate columns (the LSH prefilter), and
+    true containment = |X ∩ Q| / |Q| replaces the reference's
+    MinHash-derived approximation (``apiserver/main.py:408-414``).
+    """
+    b, r = optimal_param(threshold, num_perm)
+    idx = indexable(index_sketches)
+    if original_hosts is not None:
+        idx = idx.filter(F.col("file_id").isin(list(original_hosts)))
+    q_bands = bands_table(query_sketches, b, r).withColumnsRenamed(
+        {"file_id": "q_file_id", "column_name": "q_column_name"}
+    )
+    i_bands = bands_table(idx, b, r)
+    cand = (
+        q_bands.join(i_bands, ["band_idx", "band_hash"])
+        .filter(F.col("q_file_id") != F.col("file_id"))
+        .select("q_file_id", "q_column_name", "file_id", "column_name")
+        .distinct()
+    )
+    # Distinct normalized non-empty values per column (same C1/F5 rules
+    # the sketcher applies: lower/trim, SQL NULL -> "null", skip empty).
+    norm = F.lower(F.trim(F.coalesce(F.col("val"), F.lit("null"))))
+    vals = (
+        records.select("file_id", "column_name", norm.alias("v"))
+        .filter(F.length("v") > 0)
+        .distinct()
+    )
+    sizes = vals.groupBy("file_id", "column_name").agg(
+        F.count(F.lit(1)).alias("x_size")
+    )
+    q_files = query_sketches.select("file_id").distinct()
+    q_vals = vals.join(q_files, "file_id").select(
+        F.col("file_id").alias("q_file_id"),
+        F.col("column_name").alias("q_column_name"),
+        "v",
+    )
+    q_sizes = q_vals.groupBy("q_file_id", "q_column_name").agg(
+        F.count(F.lit(1)).alias("q_size")
+    )
+    inter = (
+        cand.join(vals, ["file_id", "column_name"])
+        .join(q_vals, ["q_file_id", "q_column_name", "v"])
+        .groupBy("q_file_id", "q_column_name", "file_id", "column_name")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        cand.join(inter, ["q_file_id", "q_column_name", "file_id", "column_name"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(sizes, ["file_id", "column_name"])
+        .join(q_sizes, ["q_file_id", "q_column_name"])
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("x_size") + F.col("q_size") - F.col("inter")),
+        )
+        .withColumn("containment", F.col("inter").cast("double") / F.col("q_size"))
+        .filter(F.col("jaccard") >= threshold)
     )
     w = Window.partitionBy("q_file_id", "q_column_name").orderBy(
         F.desc("containment"), F.asc("file_id"), F.asc("column_name")

@@ -54,6 +54,8 @@ class CrawlConfig:
     hot_host_salt: int = 8              # salt factor for skewed hosts
     bloom_bits_per_key: int = 10        # ~1% fpp
     bloom_num_hashes: int = 7
+    bloom_shards: int = 16              # per-shard bitsets (10^10: ~1024)
+    seen_filter: str = "bloom"          # "bloom" | "cuckoo" prefilter
 
 
 @dataclass(frozen=True)

@@ -98,3 +98,98 @@ def with_maybe_seen(df, bloom_bytes_bc, m_bits: int, k: int, hash_col="url_hash"
         return pd.Series(hit.all(axis=1).astype(bool))
 
     return df.withColumn("maybe_seen", probe(F.col(hash_col)))
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom: per-shard bitsets keyed by pmod(url_hash, n_shards)
+# ---------------------------------------------------------------------------
+# The 10^10 shape: one monolithic bitset at 10 bits/key is ~12.5 GB — too
+# big to build driver-side or broadcast whole. Sharding by url_hash makes
+# each shard an independent, individually-sized bitset:
+#
+# - **build** is a groupBy(shard) → one ``applyInPandas`` bitset per shard
+#   (a bucketed build: the shard's keys land on one executor, exactly S
+#   small bitsets travel to the driver — total m/8 bytes, instead of
+#   P × m/8 partial bitsets from every input partition);
+# - **probe** broadcasts the dict of shards; each Arrow batch groups its
+#   rows by shard and probes the matching bitset (numpy, no per-row work);
+# - at real scale S grows with the key count (cfg.bloom_shards), each
+#   shard stays ~m/S bits, and shards can be rebuilt/broadcast
+#   independently as their host population grows.
+#
+# Shard id = pmod(url_hash, S) — computable identically JVM-side
+# (``F.pmod``) and numpy-side (``np.mod`` on int64); bit positions use the
+# splitmix-mixed hashes, so shard choice and positions are decorrelated.
+
+
+def shard_ids(h_int64: np.ndarray, n_shards: int) -> np.ndarray:
+    return np.mod(h_int64, n_shards)
+
+
+def build_bloom_shards(
+    seen_df, m_bits_shard: int, k: int, n_shards: int
+) -> dict[int, bytes]:
+    """One Bloom bitset per shard of ``seen_df.url_hash``."""
+    from pyspark.sql import functions as F
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(np.int64).view(np.uint64)
+        bools = np.zeros(m_bits_shard, dtype=bool)
+        bools[_positions(h, m_bits_shard, k).ravel()] = True
+        bits = np.packbits(bools, bitorder="little")
+        return pd.DataFrame({"shard_id": [int(key[0])], "bits": [bits.tobytes()]})
+
+    rows = (
+        seen_df.select(
+            F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id"),
+            "url_hash",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(fn, "shard_id int, bits binary")
+        .collect()
+    )
+    empty = b"\x00" * (m_bits_shard // 8)
+    shards = {i: empty for i in range(n_shards)}
+    for row in rows:
+        shards[int(row["shard_id"])] = bytes(row["bits"])
+    return shards
+
+
+def or_delta_shards(
+    shards: dict[int, bytes], delta_df, m_bits_shard: int, k: int, n_shards: int
+) -> dict[int, bytes]:
+    """OR per-shard delta bitsets into the existing shard dict."""
+    delta = build_bloom_shards(delta_df, m_bits_shard, k, n_shards)
+    out = dict(shards)
+    for sid, bits in delta.items():
+        if any(bits):
+            acc = np.frombuffer(out[sid], dtype=np.uint8) | np.frombuffer(
+                bits, dtype=np.uint8
+            )
+            out[sid] = acc.tobytes()
+    return out
+
+
+def with_maybe_seen_shards(
+    df, shards_bc, m_bits_shard: int, k: int, n_shards: int, hash_col="url_hash"
+):
+    """``maybe_seen`` via the broadcast shard dict (numpy per shard group)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        hv = h.to_numpy(np.int64)
+        hu = hv.view(np.uint64)
+        sh = shard_ids(hv, n_shards)
+        out = np.zeros(len(hv), dtype=bool)
+        shards = shards_bc.value
+        for s in np.unique(sh):
+            idx = np.nonzero(sh == s)[0]
+            bits = np.frombuffer(shards[int(s)], dtype=np.uint8)
+            pos = _positions(hu[idx], m_bits_shard, k)
+            hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            out[idx] = hit.all(axis=1)
+        return pd.Series(out)
+
+    return df.withColumn("maybe_seen", probe(F.col(hash_col)))

@@ -48,15 +48,55 @@ class CuckooFilter:
         return (i1.astype(np.uint64) ^ alt).astype(np.int64) % self.n_buckets
 
     # -- ops ----------------------------------------------------------------
+    def _bulk_place(self, fps: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        """Vectorized scatter of fingerprints into their buckets.
+
+        Group-by-bucket + intra-group rank: within one call, the r-th
+        incoming key of a bucket takes the (r+1)-th free slot; keys whose
+        rank exceeds the bucket's free slots stay unplaced. Returns a
+        boolean placed-mask aligned with the inputs. One numpy pass — no
+        per-key Python.
+        """
+        n = len(fps)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(buckets, kind="stable")
+        bs = buckets[order]
+        first = np.r_[True, bs[1:] != bs[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        rank = np.arange(n) - grp_start
+        free = self.table[bs] == _EMPTY              # (n, SLOTS), pre-place state
+        n_free = free.sum(axis=1)                    # same for all rows of a group
+        can = rank < n_free
+        slot_order = np.argsort(~free, axis=1, kind="stable")  # free slots first
+        slots = slot_order[np.arange(n), np.minimum(rank, BUCKET_SLOTS - 1)]
+        self.table[bs[can], slots[can]] = fps[order][can]
+        self.size += int(can.sum())
+        placed = np.zeros(n, dtype=bool)
+        placed[order[can]] = True
+        return placed
+
     def insert_batch(self, hashes: np.ndarray) -> int:
         """Insert signed-int64 key hashes; returns number inserted (drops
-        on table-full after MAX_KICKS — caller should size capacity)."""
+        on table-full after MAX_KICKS — caller should size capacity).
+
+        Two vectorized scatter passes (bucket i1, then i2 for the
+        spill-over); only keys that miss both buckets — a few per batch
+        at sane load factors — fall back to the per-key kick loop.
+        """
         h = hashes.astype(np.int64).view(np.uint64)
         fps, i1s = self._fp(h), self._i1(h)
         i2s = self._i2(i1s, fps)
-        inserted = 0
-        for fp, i1, i2 in zip(fps, i1s, i2s):
-            if self._insert_one(np.uint16(fp), int(i1), int(i2)):
+        placed = self._bulk_place(fps, i1s)
+        rest = ~placed
+        if rest.any():
+            placed2 = self._bulk_place(fps[rest], i2s[rest])
+            rest_idx = np.nonzero(rest)[0][~placed2]
+        else:
+            rest_idx = np.zeros(0, dtype=np.int64)
+        inserted = int(placed.sum()) + (int((~placed).sum()) - len(rest_idx))
+        for j in rest_idx:
+            if self._insert_one(np.uint16(fps[j]), int(i1s[j]), int(i2s[j])):
                 inserted += 1
         return inserted
 

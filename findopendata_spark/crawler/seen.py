@@ -1,0 +1,181 @@
+"""Sharded URL-seen prefilter: Bloom or cuckoo shards behind one API.
+
+BASELINE.json names a "partitioned Bloom/cuckoo URL-seen filter
+maintained as broadcast + per-partition shards". This module is that
+seam: ``CrawlConfig.seen_filter`` selects the family, and both are
+sharded by ``pmod(url_hash, n_shards)``:
+
+- **build**: groupBy(shard) → one executor-side vectorized build per
+  shard (numpy bit-scatter for Bloom, bulk cuckoo insert for cuckoo);
+  exactly S small shard blobs travel to the driver — never the keys,
+  and never one partial bitset per input partition.
+- **delta**: per-wave new URLs take the same grouped path; for Bloom
+  the shard deltas OR into the driver copy, for cuckoo the existing
+  shard tables are broadcast and the executors insert into them.
+- **probe**: the shard dict is broadcast; each Arrow batch groups rows
+  by shard id and probes vectorized.
+
+At 10^10 keys the monolithic bitset (~12.5 GB at 10 bits/key) cannot
+live on one driver; shards of ~m/S bits can be rebuilt, shipped, and
+(on a real cluster) pinned per-executor independently. Cuckoo trades
+~2 bytes/key for delete support (recrawl eviction) — see
+``crawler/cuckoo.py``.
+
+Reference analog: the URL-seen set is unique indexes + upserts in
+Postgres (``sql/create_crawler_tables.sql:45,78,104``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from findopendata_spark.config import CrawlConfig
+from findopendata_spark.crawler import cuckoo as CK
+from findopendata_spark.crawler.bloom import (
+    bloom_size_bits,
+    build_bloom_shards,
+    or_delta_shards,
+    with_maybe_seen_shards,
+)
+
+
+def _pow2(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(n, 2))))
+
+
+@dataclass
+class ShardedSeenFilter:
+    kind: str                    # "bloom" | "cuckoo"
+    shards: dict[int, bytes]
+    n_shards: int
+    k: int                       # bloom hash rounds (bloom only)
+    m_bits_shard: int            # bloom bitset bits per shard (bloom only)
+    n_buckets_shard: int         # cuckoo buckets per shard (cuckoo only)
+    capacity: int                # total keys the filter is sized for
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def build(cls, seen_df, n_keys: int, cfg: CrawlConfig) -> "ShardedSeenFilter":
+        """Size for ``n_keys`` (callers pass count*headroom) and build all
+        shards from ``seen_df.url_hash`` executor-side."""
+        s = cfg.bloom_shards
+        if cfg.seen_filter == "cuckoo":
+            n_buckets = _pow2(
+                max(n_keys // s, 1024) // int(CK.BUCKET_SLOTS * 0.95) + 1
+            )
+            shards = _build_cuckoo_shards(seen_df, n_buckets, s)
+            return cls("cuckoo", shards, s, 0, 0, n_buckets, n_keys)
+        m_shard = bloom_size_bits(max(n_keys // s, 1), cfg.bloom_bits_per_key)
+        shards = build_bloom_shards(seen_df, m_shard, cfg.bloom_num_hashes, s)
+        return cls(
+            "bloom", shards, s, cfg.bloom_num_hashes, m_shard, 0, n_keys
+        )
+
+    def needs_rebuild(self, n_keys: int, cfg: CrawlConfig) -> bool:
+        return n_keys > self.capacity
+
+    # -- incremental update ---------------------------------------------------
+    def or_delta(self, spark, delta_df) -> None:
+        if self.kind == "cuckoo":
+            bc = spark.sparkContext.broadcast(self.shards)
+            try:
+                new_shards = _insert_cuckoo_shards(
+                    delta_df, bc, self.n_buckets_shard, self.n_shards
+                )
+                self.shards.update(new_shards)
+            finally:
+                bc.unpersist()
+        else:
+            self.shards = or_delta_shards(
+                self.shards, delta_df, self.m_bits_shard, self.k, self.n_shards
+            )
+
+    # -- probe ----------------------------------------------------------------
+    def with_maybe_seen(self, spark, df, hash_col: str = "url_hash"):
+        bc = spark.sparkContext.broadcast(self.shards)
+        if self.kind == "cuckoo":
+            return _with_maybe_seen_cuckoo(
+                df, bc, self.n_buckets_shard, self.n_shards, hash_col
+            )
+        return with_maybe_seen_shards(
+            df, bc, self.m_bits_shard, self.k, self.n_shards, hash_col
+        )
+
+
+# ---------------------------------------------------------------------------
+# cuckoo shard plumbing (bloom's lives in bloom.py)
+# ---------------------------------------------------------------------------
+
+def _build_cuckoo_shards(seen_df, n_buckets: int, n_shards: int) -> dict[int, bytes]:
+    from pyspark.sql import functions as F
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CK.CuckooFilter.__new__(CK.CuckooFilter)
+        cf.n_buckets = n_buckets
+        cf.table = np.zeros((n_buckets, CK.BUCKET_SLOTS), dtype=np.uint16)
+        cf.size = 0
+        cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame({"shard_id": [int(key[0])], "bits": [cf.to_bytes()]})
+
+    rows = (
+        seen_df.select(
+            F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id"),
+            "url_hash",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(fn, "shard_id int, bits binary")
+        .collect()
+    )
+    empty = np.zeros((n_buckets, CK.BUCKET_SLOTS), dtype=np.uint16).tobytes()
+    shards = {i: empty for i in range(n_shards)}
+    for row in rows:
+        shards[int(row["shard_id"])] = bytes(row["bits"])
+    return shards
+
+
+def _insert_cuckoo_shards(
+    delta_df, shards_bc, n_buckets: int, n_shards: int
+) -> dict[int, bytes]:
+    """Insert delta keys into broadcast shard tables executor-side; only
+    the touched shards' new tables return to the driver."""
+    from pyspark.sql import functions as F
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        cf = CK.CuckooFilter.from_bytes(shards_bc.value[sid], n_buckets)
+        cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame({"shard_id": [sid], "bits": [cf.to_bytes()]})
+
+    rows = (
+        delta_df.select(
+            F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id"),
+            "url_hash",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(fn, "shard_id int, bits binary")
+        .collect()
+    )
+    return {int(r["shard_id"]): bytes(r["bits"]) for r in rows}
+
+
+def _with_maybe_seen_cuckoo(
+    df, shards_bc, n_buckets: int, n_shards: int, hash_col: str
+):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        hv = h.to_numpy(np.int64)
+        sh = np.mod(hv, n_shards)
+        out = np.zeros(len(hv), dtype=bool)
+        for s in np.unique(sh):
+            idx = np.nonzero(sh == s)[0]
+            cf = CK.CuckooFilter.from_bytes(shards_bc.value[int(s)], n_buckets)
+            out[idx] = cf.contains_batch(hv[idx])
+        return pd.Series(out)
+
+    return df.withColumn("maybe_seen", probe(F.col(hash_col)))

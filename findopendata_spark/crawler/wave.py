@@ -42,11 +42,7 @@ from pyspark.sql import functions as F
 from findopendata_spark.catalog import SnapshotCatalog
 from findopendata_spark.config import CrawlConfig
 from findopendata_spark.crawler import graph as G
-from findopendata_spark.crawler.bloom import (
-    bloom_size_bits,
-    build_bloom,
-    with_maybe_seen,
-)
+from findopendata_spark.crawler.seen import ShardedSeenFilter
 from findopendata_spark.functions.urls import canonicalize_url, url_host
 
 FETCH_OUT_SCHEMA = (
@@ -60,9 +56,9 @@ class CrawlState:
     cat: SnapshotCatalog
     cfg: CrawlConfig = field(default_factory=CrawlConfig)
     gcfg: G.GraphConfig = field(default_factory=G.GraphConfig)
-    # driver-side incremental Bloom cache (rebuilt from tables on resume)
-    _bloom: bytes | None = None
-    _bloom_m: int = 0
+    # driver-side incremental seen-filter cache (rebuilt from tables on
+    # resume): sharded Bloom or cuckoo per cfg.seen_filter
+    _seen_filter: ShardedSeenFilter | None = None
     _seen_count: int = 0
     _frontier_count: int | None = None  # tracked incrementally per wave
 
@@ -138,27 +134,37 @@ def _make_fetch_fn(gcfg: G.GraphConfig):
     return fetch
 
 
-def _get_bloom(spark, state: CrawlState, seen: DataFrame):
-    """Driver-cached Bloom over the committed seen set.
+def _get_seen_filter(spark, state: CrawlState, seen: DataFrame):
+    """Driver-cached sharded seen filter over the committed seen set.
 
     Built once (or on resume), then maintained incrementally by
     :func:`run_wave`; rebuilt from the table only when the key count
     outgrows the 4x headroom (keeps fpp ≈ target as the crawl expands).
     """
     cfg = state.cfg
-    if (
-        state._bloom is None
-        or state._seen_count * cfg.bloom_bits_per_key > state._bloom_m
+    if state._seen_filter is None or state._seen_filter.needs_rebuild(
+        state._seen_count, cfg
     ):
         n = seen.count()
-        m = bloom_size_bits(max(n, 1) * 4, cfg.bloom_bits_per_key)  # 4x headroom
-        state._bloom = build_bloom(seen, m, cfg.bloom_num_hashes)
-        state._bloom_m = m
+        state._seen_filter = ShardedSeenFilter.build(seen, max(n, 1) * 4, cfg)
         state._seen_count = n
-    return state._bloom, state._bloom_m
+    return state._seen_filter
 
 
 def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = _time.time()
+            print(f"WAVETIME {wave} {label} {now - _t0:.2f}", flush=True)
+            _t0 = now
+
     cat, cfg, gcfg = state.cat, state.cfg, state.gcfg
     assert cat.current_wave() == wave - 1, "waves must be sequential"
     shard_k = cfg.host_shards
@@ -217,6 +223,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     # window+join tree — Catalyst planning time was the dominant SERIAL
     # per-wave cost (measured: 4x cores gave only 1.7x speedup before).
     selected = selected.localCheckpoint()  # reused: fetch, host_state, lineage
+    _mark("select_ckpt")
     # frontier leftovers — everything eligible but not selected, WITHOUT an
     # anti-join: the window rank already partitions ready exactly.
     leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
@@ -232,6 +239,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         .applyInPandas(_make_fetch_fn(gcfg), FETCH_OUT_SCHEMA)
     )
     spans = spans.localCheckpoint()  # reused: docs build + links + lineage
+    _mark("fetch_ckpt")
 
     # 4. docs table (interleaved input_hint shape), JVM-side assembly
     docs = (
@@ -313,10 +321,11 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         )
 
     # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
-    bloom_bytes, m_bits = _get_bloom(spark, state, seen)
-    bc = spark.sparkContext.broadcast(bloom_bytes)
-    cand = with_maybe_seen(cand, bc, m_bits, cfg.bloom_num_hashes)
+    _mark("plan_build")
+    seen_filter = _get_seen_filter(spark, state, seen)
+    cand = seen_filter.with_maybe_seen(spark, cand)
     cand = cand.localCheckpoint()  # probe runs once; both branches reuse
+    _mark("cand_ckpt")
     definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe_new = (
         cand.filter(F.col("maybe_seen"))
@@ -325,6 +334,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     )
     new = definite_new.unionByName(maybe_new)
     new = new.localCheckpoint()
+    _mark("dedup_ckpt")
 
     # 7. next state: leftovers ∪ not-ready ∪ new — no anti-join shuffle;
     # the selection windows already split the frontier exactly.
@@ -384,6 +394,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         for f in futs:
             f.result()
     cat.commit_wave(wave, staged)
+    _mark("stage_commit")
 
     # stats from the already-written lineage parquet (one tiny read — no
     # recount jobs over the big frames)
@@ -399,15 +410,11 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     n_fetched = int(lin_agg["f"] or 0)
     n_new = int(lin_agg["e"] or 0)
 
-    # incremental Bloom update: shards built executor-side over the cached
-    # `new` frame; only bitsets reach the driver (never the 10^10 keys)
+    # incremental seen-filter update: shard deltas built executor-side
+    # over the cached `new` frame; only shard blobs reach the driver
+    # (never the 10^10 keys)
     if n_new:
-        from findopendata_spark.crawler.bloom import or_delta
-
-        state._bloom = or_delta(
-            state._bloom, new.select("url_hash"), state._bloom_m,
-            cfg.bloom_num_hashes,
-        )
+        seen_filter.or_delta(spark, new.select("url_hash"))
     state._seen_count += n_new
     for df in (ready, ranked_pre, ranked):
         df.unpersist()
@@ -417,6 +424,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         state._frontier_count = cat.read(spark, "frontier").count()
     else:
         state._frontier_count += n_new - n_fetched
+    _mark("post_commit")
     return {
         "wave": wave,
         "fetched": n_fetched,

@@ -19,7 +19,12 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — e.g.
+    ``local-cluster[4,4,6144]`` launches 4 separate executor JVMs with 4
+    cores each (the in-sandbox stand-in for a 4-executor cluster: each
+    executor owns its heap, GC, and python workers, like a real node)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -27,7 +32,7 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
@@ -38,6 +43,11 @@ def get_spark(
         # process. On a real cluster this goes in executor.extraJavaOptions.
         .config(
             "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
+        )
+        # same GC for separate executor JVMs (local-cluster / real cluster)
+        .config(
+            "spark.executor.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
         )
         # AQE: runtime coalesce + skew-join split — essential at 100 TB where

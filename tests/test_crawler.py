@@ -272,3 +272,77 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert all(r["maybe_seen"] for r in members)  # zero false negatives
     fp = sum(r["maybe_seen"] for r in non) / len(non)
     assert fp < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Sharded seen-filter tests (Bloom + cuckoo modes)
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_mode_wave_parity(spark, sim, tmp_path):
+    """The crawl under cfg.seen_filter='cuckoo' reproduces the same visit
+    ordering and seen set as the simulator (and hence the Bloom mode)."""
+    visits_sim, seen_sim = sim
+    cfg = CrawlConfig(per_host_wave_budget=10, seen_filter="cuckoo")
+    state = crawl(spark, str(tmp_path / "cuckoo"), waves=WAVES, cfg=cfg, gcfg=GCFG)
+    docs = state.cat.read_appended(spark, "docs")
+    engine = sorted(
+        (r["wave"], r["host"], r["url_canon"])
+        for r in docs.select("wave", "host", "url_canon").collect()
+    )
+    assert engine == sorted(visits_sim)
+    seen = state.cat.read_appended(spark, "seen")
+    assert {r["url_canon"] for r in seen.select("url_canon").collect()} == seen_sim
+
+
+def test_sharded_filter_no_false_negatives_both_modes(spark):
+    from findopendata_spark.crawler.seen import ShardedSeenFilter
+
+    rng = np.random.RandomState(11)
+    keys = rng.randint(-(2**62), 2**62, size=8000, dtype=np.int64)
+    fresh = np.setdiff1d(
+        rng.randint(-(2**62), 2**62, size=8000, dtype=np.int64), keys
+    )
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    probe_df = spark.createDataFrame(
+        [(int(k), True) for k in keys] + [(int(k), False) for k in fresh],
+        "url_hash long, member boolean",
+    )
+    for mode in ("bloom", "cuckoo"):
+        cfg = CrawlConfig(seen_filter=mode)
+        filt = ShardedSeenFilter.build(df, len(keys) * 4, cfg)
+        res = filt.with_maybe_seen(spark, probe_df).collect()
+        members = [r for r in res if r["member"]]
+        non = [r for r in res if not r["member"]]
+        assert all(r["maybe_seen"] for r in members), mode
+        fp = sum(r["maybe_seen"] for r in non) / len(non)
+        assert fp < 0.05, (mode, fp)
+        # incremental delta: inserted keys become maybe_seen
+        delta = spark.createDataFrame([(int(k),) for k in fresh[:500]], "url_hash long")
+        filt.or_delta(spark, delta)
+        res2 = filt.with_maybe_seen(
+            spark, spark.createDataFrame([(int(k),) for k in fresh[:500]], "url_hash long")
+        ).collect()
+        assert all(r["maybe_seen"] for r in res2), mode
+
+
+def test_shard_bitset_size_stays_bounded(spark):
+    """Per-shard blob size is ~total/S and grows with keys/S, not with the
+    partition count or total key count at fixed keys-per-shard — the
+    10^10 scale invariant (no monolithic driver bitset)."""
+    from findopendata_spark.crawler.seen import ShardedSeenFilter
+
+    cfg = CrawlConfig()  # bloom, 16 shards
+    for n_keys in (10_000, 40_000):
+        rng = np.random.RandomState(n_keys)
+        keys = rng.randint(-(2**62), 2**62, size=n_keys, dtype=np.int64)
+        df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long").repartition(32)
+        filt = ShardedSeenFilter.build(df, n_keys * 4, cfg)
+        assert len(filt.shards) == cfg.bloom_shards
+        per_shard = {len(b) for b in filt.shards.values()}
+        assert len(per_shard) == 1  # uniform shard sizing
+        expected_bits = filt.m_bits_shard
+        # each shard is sized for n/S keys (pow2-rounded), NOT for n keys
+        assert expected_bits * cfg.bloom_shards <= 2 * (
+            n_keys * 4 * cfg.bloom_bits_per_key * 2
+        )
+        assert per_shard.pop() == expected_bits // 8

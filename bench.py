@@ -121,13 +121,109 @@ def bench_crawl(cores: int) -> dict:
         spark.stop()
 
 
-def _crawl_subprocess(cores: int) -> dict:
-    """Run bench_crawl(cores) in a fresh python/JVM process."""
+def bench_control(cores: int) -> dict:
+    """Perfectly-parallel control: the crawl's per-URL instruction mix
+    (string synthesis, canonicalization, xxhash64, Arrow round-trip
+    through the synthetic fetch UDF, parquet write) with ZERO
+    coordination — one stage, no shuffle, no window, no join, no commit
+    barrier. Its N→4N efficiency is the ceiling this host's memory
+    bus/allocator allows ANY embarrassingly-parallel version of this
+    workload; the crawl's efficiency is judged against it
+    (``efficiency_vs_control``)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from findopendata_spark.crawler.graph import GraphConfig, synth_fetch_pandas
+    from findopendata_spark.functions.urls import canonicalize_url, url_host
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from findopendata_spark.session import get_spark
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    spark = get_spark(
+        f"bench-control-{cores}", cores=cores, shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.local.dir": os.path.join(shm, "spark-local"),
+        },
+    )
+    gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)
+    n = 3_000_000
+
+    def job(n_urls: int, out_dir: str) -> int:
+        import pandas as pd
+
+        df = spark.range(n_urls, numPartitions=4 * cores)
+        hostj = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(gcfg.n_data_hosts))
+        host = F.concat(
+            F.lit("data-"), hostj.cast("string"), F.lit(".example.net")
+        )
+        messy = F.concat(
+            F.lit("HTTPS://"), host, F.lit(":443/d/"),
+            F.lpad((F.col("id") % gcfg.graph_size).cast("string"), 12, "0"),
+            F.lit("?b=2&a=1#frag"),
+        )
+        urls = df.select(canonicalize_url(messy).alias("url_canon")).select(
+            "url_canon",
+            url_host(F.col("url_canon")).alias("host"),
+            F.xxhash64("url_canon").alias("url_hash"),
+            F.lit(1).alias("depth"),
+        )
+
+        def fetch(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h = pdf["url_hash"].to_numpy("int64").view("uint64")
+                doc_idx, kind, text, media_ref, offset = synth_fetch_pandas(
+                    pd.Series(h), pdf["depth"], gcfg
+                )
+                yield pd.DataFrame(
+                    {
+                        "url_canon": pdf["url_canon"].to_numpy()[doc_idx],
+                        "kind": kind,
+                        "text": text,
+                        "media_ref": media_ref,
+                        "offset": offset,
+                    }
+                )
+
+        spans = urls.mapInPandas(
+            fetch,
+            "url_canon string, kind string, text string, "
+            "media_ref string, offset int",
+        )
+        spans.write.mode("overwrite").parquet(out_dir)
+        return n_urls
+
+    warm = tempfile.mkdtemp(prefix=f"ctl-warm-{cores}-", dir=shm)
+    job(50_000, warm)
+    shutil.rmtree(warm, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix=f"ctl-{cores}-", dir=shm)
+    try:
+        t0 = time.time()
+        work = job(n, out)
+        wall = time.time() - t0
+        return {
+            "cores": cores,
+            "wall_s": round(wall, 2),
+            "urls": work,
+            "throughput_urls_per_s": round(work / wall, 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def _subprocess_bench(fn_name: str, cores: int) -> dict:
+    """Run bench_<fn>(cores) in a fresh python/JVM process."""
     import subprocess
 
     code = (
-        "import json, bench; print('BENCHJSON:'+json.dumps(bench.bench_crawl(%d)))"
-        % cores
+        "import json, bench; print('BENCHJSON:'+json.dumps(bench.%s(%d)))"
+        % (fn_name, cores)
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -139,7 +235,15 @@ def _crawl_subprocess(cores: int) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("BENCHJSON:"):
             return json.loads(line[len("BENCHJSON:"):])
-    raise RuntimeError(f"crawl bench failed at {cores} cores: {out.stderr[-2000:]}")
+    raise RuntimeError(
+        f"{fn_name} failed at {cores} cores: {out.stderr[-2000:]}"
+    )
+
+
+def _best_of(fn_name: str, cores: int, runs: int) -> tuple[dict, list[float]]:
+    results = [_subprocess_bench(fn_name, cores) for _ in range(runs)]
+    best = max(results, key=lambda r: r["throughput_urls_per_s"])
+    return best, [r["throughput_urls_per_s"] for r in results]
 
 
 def main() -> None:
@@ -153,27 +257,45 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     if os.environ.get("SPARK_GRAFT_BENCH_CRAWL", "1") != "0":
-        # SPARK_GRAFT_BENCH_RUNS=2 → best-of-N per level (this host shows
-        # ±20-50% interference between identical runs; max-throughput is
-        # the least-disturbed run). Default 1 keeps the per-round bench
-        # under ~6 min.
-        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
-        lo = max(
-            (_crawl_subprocess(N_LO) for _ in range(runs)),
-            key=lambda r: r["throughput_urls_per_s"],
-        )
-        hi = max(
-            (_crawl_subprocess(N_HI) for _ in range(runs)),
-            key=lambda r: r["throughput_urls_per_s"],
-        )
+        # Best-of-N per level, default 2: this host shows ±20-50%
+        # interference between identical runs (BENCH/BASELINE.md records
+        # identical code measuring 45.6 s and 63.3 s an hour apart);
+        # max-throughput is the least-disturbed run.
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+        lo, lo_all = _best_of("bench_crawl", N_LO, runs)
+        hi, hi_all = _best_of("bench_crawl", N_HI, runs)
         ratio = N_HI / N_LO
         eff = hi["throughput_urls_per_s"] / (ratio * lo["throughput_urls_per_s"])
-        result["crawl"] = {
+        crawl = {
             "n_lo": lo,
             "n_hi": hi,
+            "all_runs_lo": lo_all,
+            "all_runs_hi": hi_all,
             "parallelism_ratio": ratio,
             "scaling_efficiency": round(eff, 3),
         }
+        if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
+            # Paired control: the same per-URL instruction mix with zero
+            # coordination (one stage, no shuffle/window/join/commit).
+            # Its N→4N efficiency is this host's ceiling for ANY
+            # perfectly-parallel run of this workload (single shared
+            # memory bus + allocator — see BENCH/BASELINE.md);
+            # efficiency_vs_control isolates the engine's own
+            # orchestration overhead from host physics.
+            clo, clo_all = _best_of("bench_control", N_LO, runs)
+            chi, chi_all = _best_of("bench_control", N_HI, runs)
+            ceff = chi["throughput_urls_per_s"] / (
+                ratio * clo["throughput_urls_per_s"]
+            )
+            crawl["control"] = {
+                "n_lo": clo,
+                "n_hi": chi,
+                "all_runs_lo": clo_all,
+                "all_runs_hi": chi_all,
+                "control_efficiency": round(ceff, 3),
+            }
+            crawl["efficiency_vs_control"] = round(eff / ceff, 3)
+        result["crawl"] = crawl
     print(json.dumps(result))
 
 

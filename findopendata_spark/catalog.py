@@ -127,6 +127,17 @@ class SnapshotCatalog:
             .drop("_rn", "_src")
         )
         wave = self.current_wave() + 1
+        # Invariant guard: committing wave k makes any append-table dir
+        # `<t>/wave=k` visible (readers filter wave <= current). A run
+        # killed mid-wave-k may have staged such dirs without committing;
+        # since this merge stages NO appends, any existing wave=k dir is
+        # dead weight from that killed run — remove it before publishing,
+        # so "staged data is invisible until its wave commits" holds even
+        # when merge tables and append tables share a catalog root.
+        for entry in os.listdir(self.root):
+            stale = os.path.join(self.root, entry, f"wave={wave}")
+            if not entry.startswith("_") and os.path.isdir(stale):
+                shutil.rmtree(stale)
         snap = self.stage(merged, table, wave)
         self.commit_wave(wave, {table: snap})
 

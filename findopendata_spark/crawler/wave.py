@@ -192,9 +192,11 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         F.lit(wave) >= F.col("last_fetch_wave") + F.col("crawl_delay")
     )
     fr_cols = ["url_canon", "depth", "priority", "url_hash"]
-    not_ready = f.filter(~eligible_cond).select(*fr_cols)
-    ready = f.filter(eligible_cond)
-    ready.cache()  # reused: selection window + lineage eligible-count
+    f = f.select(*fr_cols, "host", eligible_cond.alias("_elig"))
+    f.cache()  # reused: selection window, lineage count, AND the not-ready
+    # leg of the next frontier (staging must not re-read + re-join state)
+    not_ready = f.filter(~F.col("_elig")).select(*fr_cols)
+    ready = f.filter(F.col("_elig")).drop("_elig")
 
     # 2. per-host selection window (W7/W4): priority desc, url asc, capped.
     # Two-phase top-k: a salted partial rank bounds every sort task (the
@@ -360,7 +362,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         )
 
     lineage = (
-        tagged(ready, "e")
+        tagged(f.filter(F.col("_elig")), "e")
         .unionByName(tagged(selected, "f"))
         .unionByName(tagged(cand, "c"))
         .unionByName(tagged(new, "n"))
@@ -374,6 +376,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         .withColumn(
             "urls_deduped", F.col("urls_candidates") - F.col("urls_enqueued")
         )
+        .coalesce(1)  # <= host_shards rows: one file, one reduce task
     )
 
     # 9. stage all five outputs CONCURRENTLY — independent jobs over the
@@ -391,8 +394,8 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             ex.submit(cat.stage_append, lineage, "lineage", wave),
         ]
         staged = {"frontier": f_frontier.result(), "host_state": f_hosts.result()}
-        for f in futs:
-            f.result()
+        for fut in futs:
+            fut.result()
     cat.commit_wave(wave, staged)
     _mark("stage_commit")
 
@@ -416,7 +419,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     if n_new:
         seen_filter.or_delta(spark, new.select("url_hash"))
     state._seen_count += n_new
-    for df in (ready, ranked_pre, ranked):
+    for df in (f, ranked_pre, ranked):
         df.unpersist()
     # checkpointed RDDs (selected/spans/cand/new) are reclaimed by the
     # ContextCleaner once these references drop

@@ -84,14 +84,26 @@ def media_features(
             widths = np.zeros(n, dtype=np.int32)
             heights = np.zeros(n, dtype=np.int32)
             frames = np.ones(n, dtype=np.int32)
+            stub = _stub_features(digests)
+            feats = stub.copy()
             decoder = "stub-sha256"
             try:
-                feats = np.stack(
-                    [decode_image(p)[2] for p in payloads]
-                )  # pragma: no cover - needs PIL
+                # per-payload decode: capture (w, h, feat); a corrupt
+                # payload falls back to the stub for THAT row only
+                # instead of failing the whole task
+                for i, p in enumerate(payloads):  # pragma: no cover - PIL
+                    try:
+                        w, h, f = decode_image(p)
+                        widths[i], heights[i] = w, h
+                        k = min(len(f), feats.shape[1])
+                        feats[i, :k] = f[:k]
+                    except NotImplementedError:
+                        raise
+                    except Exception:  # noqa: BLE001 - corrupt payload
+                        pass  # row keeps stub features + 0x0 dims
                 decoder = "pil"
             except NotImplementedError:
-                feats = _stub_features(digests)
+                pass  # no PIL in container: all rows keep the stub
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),

@@ -14,36 +14,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with metadata blocking.
 
-    Blocking on `label` makes candidate generation exact and keeps the
-    pair space O(sum block^2) instead of O(n^2) — the deterministic
-    counterpart of IVF-cell blocking (q19 is the approximate scale
-    path). Dot products fold left-to-right in double precision, matching
-    the DuckDB oracle bit-for-bit.
+    Blocking on `label` keeps the pair space O(sum block^2) instead of
+    O(n^2); :func:`findopendata_spark.embedding.embedding_near_dup`
+    additionally sub-blocks any label above ``block_cap`` by IVF cell
+    (skew guard — a dominant label cannot re-create all-pairs; pytest
+    covers the 90%-skew case). The cap is not binding on the balanced
+    driver tables, so this query stays exact and the oracle checks the
+    full within-label pair set. Dot products fold left-to-right in
+    double precision, matching the DuckDB oracle bit-for-bit.
     """
+    from findopendata_spark.embedding import embedding_near_dup
+
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(
-        F.col("vec_id").alias("a"), "label", F.col("v").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b"), "label", F.col("v").alias("vb")
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x)
-    )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
-    return (
-        a.join(b, "label")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.35)
-        .select("label", "a", "b", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    return embedding_near_dup(emb, threshold=0.35, block_cap=1000)
 
 
 QUERIES5 = {"q34_embedding_near_dup": q34_embedding_near_dup}

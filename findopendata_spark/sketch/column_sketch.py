@@ -90,6 +90,57 @@ def _final_fn(cfg: SketchConfig):
     return fn
 
 
+_WV_PARTIAL_SCHEMA = (
+    "file_id string, column_name string, sum_vec array<double>, "
+    "n_invocab long, n_oov long"
+)
+
+
+def _wv_partial_fn():
+    """Per-(file, col, salt) word-vector partial: sum of per-value
+    sum-vectors + in-vocab/oov value counts (reference
+    ``column_sketch.py:188-197``: a value with no in-vocabulary token
+    increments oov, otherwise its token-vector sum joins the running
+    sum). Model = the lazy per-executor singleton from enrichment.py."""
+    from findopendata_spark.enrichment import VEC_DIM, _load_model
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        model = _load_model()
+        acc = np.zeros(VEC_DIM, dtype=np.float64)
+        n_in = n_oov = 0
+        for v in pdf["v"]:
+            vecs, _tok_oov = model.vectors(v.split())
+            if len(vecs):
+                acc += vecs.sum(axis=0)
+                n_in += 1
+            else:
+                n_oov += 1
+        return pd.DataFrame(
+            {
+                "file_id": [pdf["file_id"].iloc[0]],
+                "column_name": [pdf["column_name"].iloc[0]],
+                "sum_vec": [acc],
+                "n_invocab": [n_in],
+                "n_oov": [n_oov],
+            }
+        )
+
+    return fn
+
+
+def _wv_name_vector(names: pd.Series) -> pd.Series:
+    """word_vector_column_name: SUM of the column name's token vectors,
+    None when no token is in vocabulary (``column_sketch.py:127-135``)."""
+    from findopendata_spark.enrichment import _load_model
+
+    model = _load_model()
+    out = []
+    for name in names:
+        vecs, _ = model.vectors(str(name).lower().split())
+        out.append([float(x) for x in vecs.sum(axis=0)] if len(vecs) else None)
+    return pd.Series(out)
+
+
 def sketch_columns(
     records: DataFrame,
     cfg: SketchConfig | None = None,
@@ -185,16 +236,69 @@ def sketch_columns(
         )
         .withColumn("seed", F.lit(cfg.minhash_seed).cast("long"))
     )
+
+    # word-vector fields (A8, create_sketch_tables.sql:27-48):
+    # word_vector_column_name always; word_vector_data + oov accounting
+    # only behind enable_word_vector_data (configs-example.yaml:62)
+    name_vec = F.pandas_udf(_wv_name_vector, "array<double>")
+    out = out.withColumn(
+        "word_vector_column_name", name_vec(F.col("column_name"))
+    )
+    if cfg.enable_word_vector_data:
+        wv_partials = (
+            nonempty.withColumn("_salt", F.pmod(F.col("h64"), F.lit(n_salts)))
+            .groupBy("file_id", "column_name", "_salt")
+            .applyInPandas(_wv_partial_fn(), _WV_PARTIAL_SCHEMA)
+        )
+        wv = wv_partials.groupBy("file_id", "column_name").agg(
+            F.sum("n_invocab").alias("_n_in"),
+            F.sum("n_oov").alias("out_of_vocabulary_count"),
+            F.array(
+                *[
+                    F.sum(F.element_at("sum_vec", i + 1))
+                    for i in range(_wv_dim())
+                ]
+            ).alias("_sum_vec"),
+        )
+        out = (
+            out.join(wv, ["file_id", "column_name"], "left")
+            .withColumn(
+                "word_vector_data",
+                F.when(
+                    F.col("_n_in") > 0,
+                    F.transform("_sum_vec", lambda x: x / F.col("_n_in")),
+                ),
+            )
+            .withColumn(
+                "out_of_vocabulary_count",
+                F.coalesce("out_of_vocabulary_count", F.lit(0)).cast("long"),
+            )
+            .drop("_n_in", "_sum_vec")
+        )
+    else:
+        out = out.withColumn(
+            "word_vector_data", F.lit(None).cast("array<double>")
+        ).withColumn("out_of_vocabulary_count", F.lit(0).cast("long"))
+
     return out.select(
         "file_id",
         "column_name",
         "count",
         "empty_count",
+        "out_of_vocabulary_count",
         "numeric_count",
         "is_numeric",
         "distinct_count",
         "sample",
+        "word_vector_column_name",
+        "word_vector_data",
         "minhash",
         "seed",
         "hyperloglog",
     )
+
+
+def _wv_dim() -> int:
+    from findopendata_spark.enrichment import VEC_DIM
+
+    return VEC_DIM

@@ -36,14 +36,38 @@ def paginate(
     the page: record k in order → page k//page_size, slot k%page_size —
     byte-equal to the reference's offset scroll, and equal to cursor
     (scroll_id = last id) paging whenever order_cols start with the id.
+
+    Without ``partition_cols`` the rank is still exact but computed
+    scalably: a naked ``Window.partitionBy()`` would ship EVERY row to
+    one task, so instead the rows are range-repartitioned on the order
+    keys, ranked locally per partition, and offset by the broadcast
+    per-partition prefix counts (the only unpartitioned window runs over
+    the tiny one-row-per-partition count frame).
     """
-    w = (
-        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
-    ).orderBy(*[F.asc(c) for c in order_cols])
-    rn = F.row_number().over(w) - 1
-    return df.withColumn("page", (rn / page_size).cast("int")).withColumn(
+    order = [F.asc(c) for c in order_cols]
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(*order)
+        rn = F.row_number().over(w) - 1
+        out = df
+    else:
+        d = df.repartitionByRange(*order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("_pid").orderBy(*order)
+        d = d.withColumn("_lrn", F.row_number().over(w_local) - 1)
+        counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        )
+        out = d.join(F.broadcast(offsets), "_pid")
+        rn = F.col("_off") + F.col("_lrn")
+    paged = out.withColumn("page", (rn / page_size).cast("int")).withColumn(
         "slot", (rn % page_size).cast("int")
     )
+    return paged.drop("_pid", "_lrn", "_off")
 
 
 def pages_in_scroll_order(paged: DataFrame, partition_cols: list[str] | None = None):

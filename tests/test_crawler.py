@@ -346,3 +346,32 @@ def test_shard_bitset_size_stays_bounded(spark):
             n_keys * 4 * cfg.bloom_bits_per_key * 2
         )
         assert per_shard.pop() == expected_bits // 8
+
+
+def test_paginate_global_rank_is_distributed(spark):
+    """paginate without partition_cols must not funnel the data through a
+    single-task global window: the data-bearing window partitions by the
+    range-partition id; only the tiny per-partition count frame sees an
+    unpartitioned window. Coordinates stay byte-equal to the brute
+    single-window rank."""
+    from pyspark.sql import Window
+
+    from findopendata_spark.sources.scroll import paginate
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    paged = paginate(df, ["k"], page_size=50)
+    plan = paged._jdf.queryExecution().executedPlan().toString()
+    # the full-data window is keyed by _pid (spark_partition_id)
+    assert "windowspecdefinition(_pid" in plan
+    got = {(r["k"], r["page"], r["slot"]) for r in paged.collect()}
+    w = Window.partitionBy().orderBy(F.asc("k"))
+    rn = F.row_number().over(w) - 1
+    brute = {
+        (r["k"], r["page"], r["slot"])
+        for r in df.withColumn("page", (rn / 50).cast("int"))
+        .withColumn("slot", (rn % 50).cast("int"))
+        .collect()
+    }
+    assert got == brute

@@ -306,3 +306,48 @@ def test_simhash_hamming_property(spark, dup_docs):
     assert sh[1] == sh[2]  # identical text → identical simhash
     assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])  # near dup closer than unrelated
     assert ham(sh[1], sh[3]) <= 16
+
+
+def test_embedding_near_dup_skew_guard(spark):
+    """One label holding 90% of vectors must NOT produce O(n^2) pairs:
+    it sub-blocks by IVF cell (cells = ceil(n/cap) first members), and
+    the output equals brute force restricted to the assigned cells."""
+    import numpy as np
+
+    from findopendata_spark.embedding import embedding_near_dup
+
+    rng = np.random.RandomState(3)
+    n_hot, n_cold, dim = 450, 50, 8
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, "hot", [float(x) for x in rng.randn(dim)]))
+    for i in range(n_cold):
+        rows.append((n_hot + i, "cold", [float(x) for x in rng.randn(dim)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, v array<double>"
+    )
+    cap = 50
+    out = embedding_near_dup(emb, threshold=-1.0, block_cap=cap)
+    pairs = out.count()
+    # hot label sub-blocks into ceil(450/50)=9 cells: pair count is
+    # sum(cell_i choose 2) << 450 choose 2; cold label stays all-pairs.
+    hot_pairs = pairs - (n_cold * (n_cold - 1)) // 2
+    assert hot_pairs < 0.35 * (n_hot * (n_hot - 1)) // 2, hot_pairs
+    # parity: brute force within (label, assigned cell) gives same pairs
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    # recompute assignment in numpy
+    hot = np.array([r[2] for r in rows[:n_hot]])
+    cents = hot[:9]  # first 9 by vec_id
+    cos = (hot @ cents.T) / (
+        np.linalg.norm(hot, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    cell = cos.argmax(axis=1)  # ties: lower centroid id (argmax first-max)
+    expect = set()
+    for i in range(n_hot):
+        for j in range(i + 1, n_hot):
+            if cell[i] == cell[j]:
+                expect.add((i, j))
+    for i in range(n_cold):
+        for j in range(i + 1, n_cold):
+            expect.add((n_hot + i, n_hot + j))
+    assert got == expect

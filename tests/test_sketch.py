@@ -207,3 +207,49 @@ def test_bands_table_shape(spark):
     bt = bands_table(sk, b, r)
     assert bt.count() == b
     assert bt.select("band_idx").distinct().count() == b
+
+
+def test_word_vector_sketch_fields(spark):
+    """A8 full: word_vector_data = mean of per-value token-vector sums
+    over in-vocabulary values; word_vector_column_name = sum of the
+    name's token vectors (None when all name tokens are OOV); disabled
+    mode emits NULL vectors and oov=0 (reference column_sketch.py:
+    127-146,188-197; create_sketch_tables.sql:27-48)."""
+    import numpy as np
+
+    from findopendata_spark.config import SketchConfig
+    from findopendata_spark.enrichment import _HashVectorModel
+    from findopendata_spark.sketch.column_sketch import sketch_columns
+
+    rows = [
+        ("f", "city name", 1, "new york"),
+        ("f", "city name", 2, "la"),          # all tokens < 3 chars -> OOV
+        ("f", "city name", 3, "san diego"),
+        ("f", "ab", 4, "boston"),             # column name fully OOV
+    ]
+    rec = spark.createDataFrame(
+        rows, "file_id string, column_name string, ingest_key long, val string"
+    )
+    cfg = SketchConfig(enable_word_vector_data=True)
+    out = {
+        r["column_name"]: r
+        for r in sketch_columns(rec, cfg, n_salts=2).collect()
+    }
+    city = out["city name"]
+    assert city["out_of_vocabulary_count"] == 1
+    model = _HashVectorModel()
+    expected = np.zeros(16)
+    for v in ("new york", "san diego"):
+        vecs, _ = model.vectors(v.split())
+        expected += vecs.sum(axis=0)
+    expected /= 2.0
+    np.testing.assert_allclose(city["word_vector_data"], expected, rtol=1e-6)
+    nv, _ = model.vectors(["city", "name"])
+    np.testing.assert_allclose(
+        city["word_vector_column_name"], nv.sum(axis=0), rtol=1e-6
+    )
+    assert out["ab"]["word_vector_column_name"] is None
+
+    off = sketch_columns(rec, SketchConfig(), n_salts=2).collect()
+    assert all(r["word_vector_data"] is None for r in off)
+    assert all(r["out_of_vocabulary_count"] == 0 for r in off)

@@ -380,18 +380,38 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     )
 
     # 9. stage all five outputs CONCURRENTLY — independent jobs over the
-    # checkpointed frames interleave their stages and keep all cores busy
-    # instead of running serially. The atomic publish still happens only
-    # after every write lands.
+    # checkpointed frames interleave their stages (FAIR scheduler pools)
+    # and keep all cores busy instead of running serially. The seen-filter
+    # shard delta (depends only on the checkpointed `new`) overlaps the
+    # same window. The atomic publish still happens only after every
+    # write lands; the filter is driver state, safe to update pre-commit
+    # (rebuilt from tables on resume either way).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
-        f_frontier = ex.submit(cat.stage, frontier_next, "frontier", wave)
-        f_hosts = ex.submit(cat.stage, host_state_next, "host_state", wave)
+    def _timed(label, fn, *args):
+        if not _timing:
+            return fn(*args)
+        t = _time.time()
+        try:
+            return fn(*args)
+        finally:
+            print(
+                f"WAVETIME {wave} stage:{label} {_time.time() - t:.2f}",
+                flush=True,
+            )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        f_frontier = ex.submit(_timed, "frontier", cat.stage, frontier_next,
+                               "frontier", wave)
+        f_hosts = ex.submit(_timed, "hosts", cat.stage, host_state_next,
+                            "host_state", wave)
         futs = [
-            ex.submit(cat.stage_append, new_seen, "seen", wave),
-            ex.submit(cat.stage_append, docs, "docs", wave),
-            ex.submit(cat.stage_append, lineage, "lineage", wave),
+            ex.submit(_timed, "seen", cat.stage_append, new_seen, "seen", wave),
+            ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave),
+            ex.submit(_timed, "lineage", cat.stage_append, lineage, "lineage",
+                      wave),
+            ex.submit(_timed, "bloomdelta", seen_filter.or_delta, spark,
+                      new.select("url_hash")),
         ]
         staged = {"frontier": f_frontier.result(), "host_state": f_hosts.result()}
         for fut in futs:
@@ -412,12 +432,6 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     )
     n_fetched = int(lin_agg["f"] or 0)
     n_new = int(lin_agg["e"] or 0)
-
-    # incremental seen-filter update: shard deltas built executor-side
-    # over the cached `new` frame; only shard blobs reach the driver
-    # (never the 10^10 keys)
-    if n_new:
-        seen_filter.or_delta(spark, new.select("url_hash"))
     state._seen_count += n_new
     for df in (f, ranked_pre, ranked):
         df.unpersist()

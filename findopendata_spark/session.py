@@ -50,6 +50,12 @@ def get_spark(
             "spark.executor.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
         )
+        # FAIR scheduling: the wave stages its five per-wave outputs from
+        # concurrent driver threads; under FIFO the big frontier write's
+        # stages hog every slot and the small writes queue serially
+        # behind it — FAIR interleaves them (same setting you'd ship for
+        # multi-tenant jobs on a real cluster).
+        .config("spark.scheduler.mode", "FAIR")
         # AQE: runtime coalesce + skew-join split — essential at 100 TB where
         # static partition counts are always wrong for some stage.
         .config("spark.sql.adaptive.enabled", "true")

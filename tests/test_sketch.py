@@ -253,3 +253,32 @@ def test_word_vector_sketch_fields(spark):
     off = sketch_columns(rec, SketchConfig(), n_salts=2).collect()
     assert all(r["word_vector_data"] is None for r in off)
     assert all(r["out_of_vocabulary_count"] == 0 for r in off)
+
+
+def test_joinable_search_host_filter(spark):
+    """F8 (apiserver/main.py:452-454): original_hosts restricts candidate
+    files; self-exclusion still applies; exact variant honors it too."""
+    from findopendata_spark.sketch.lsh import joinable_column_search_exact
+
+    rows = []
+    for i in range(60):
+        rows.append(("qf", "q", i, f"k{i:04d}"))
+    for fid in ("h1", "h2"):
+        for i in range(80):
+            rows.append((fid, "big", i, f"k{i:04d}"))
+    rec = spark.createDataFrame(
+        rows, "file_id string, column_name string, ingest_key long, val string"
+    )
+    sk = sketch_columns(rec, SketchConfig(), n_salts=2).cache()
+    qf = sk.filter(F.col("file_id") == "qf")
+    unfiltered = joinable_column_search(qf, sk, threshold=0.1, k=5).collect()
+    assert {r["file_id"] for r in unfiltered} == {"h1", "h2"}
+    only_h2 = joinable_column_search(
+        qf, sk, threshold=0.1, k=5, original_hosts=["h2"]
+    ).collect()
+    assert {r["file_id"] for r in only_h2} == {"h2"}
+    exact_h2 = joinable_column_search_exact(
+        qf, sk, rec, threshold=0.1, k=5, original_hosts=["h2"]
+    ).collect()
+    assert {r["file_id"] for r in exact_h2} == {"h2"}
+    assert exact_h2[0]["containment"] == 1.0  # q ⊂ big exactly

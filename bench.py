@@ -41,13 +41,20 @@ def _new_spark(cores: int):
 
 
 def bench_queries(spark) -> dict[str, float]:
+    """Best-of-2 per query: the first pass pays one-time JVM codegen +
+    python-worker startup for whichever query touches a code path first
+    (measured: q22 cold 15.0 s vs steady-state 2.6 s), which made
+    single-pass totals order-dependent noise."""
     import __spark_entry__ as entry
 
     out: dict[str, float] = {}
     for name, q in sorted(entry.queries().items()):
-        t0 = time.time()
-        q(spark, SF_DIR).collect()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q(spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 

@@ -153,6 +153,15 @@ class SnapshotCatalog:
         path = os.path.join(self.root, table, f"wave={wave}")
         df.write.mode("overwrite").parquet(path)
 
+    def read_append_wave(
+        self, spark: SparkSession, table: str, wave: int
+    ) -> DataFrame:
+        """One wave's append dir (no visibility filter — callers that
+        staged the wave themselves may read it pre/post commit)."""
+        return spark.read.parquet(
+            os.path.join(self.root, table, f"wave={wave}")
+        )
+
     def read_appended(
         self, spark: SparkSession, table: str, upto: int | None = None
     ) -> DataFrame | None:

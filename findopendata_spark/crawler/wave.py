@@ -421,10 +421,8 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
 
     # stats from the already-written lineage parquet (one tiny read — no
     # recount jobs over the big frames)
-    import os as _os
-
     lin_agg = (
-        spark.read.parquet(_os.path.join(cat.root, "lineage", f"wave={wave}"))
+        cat.read_append_wave(spark, "lineage", wave)
         .agg(
             F.sum("urls_fetched").alias("f"), F.sum("urls_enqueued").alias("e")
         )

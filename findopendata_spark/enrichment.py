@@ -33,21 +33,59 @@ class _HashVectorModel:
     name = "hash-vector-stub"
 
     def vectors(self, tokens: list[str]) -> tuple[np.ndarray, int]:
+        """Per-token vectors for one value (scalar API; the batch path
+        below produces identical numbers without per-token Python)."""
+        toks = np.asarray(tokens, dtype=object)
+        if len(toks) == 0:
+            return np.zeros((0, VEC_DIM), dtype=np.float32), 0
+        vecs, ok = self._token_vectors(toks)
+        return vecs, int((~ok).sum())
+
+    @staticmethod
+    def _token_vectors(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(in-vocab token vectors, in-vocab mask) — fully vectorized:
+        utf-8 encode via np.char, truncate/NUL-pad to 8 bytes with
+        astype('S8') (byte-equal to ``t.encode()[:8].ljust(8, b'\\0')``),
+        one splitmix64 sweep over the (n, VEC_DIM) seed grid."""
         from findopendata_spark.crawler.graph import splitmix64
 
-        vecs, oov = [], 0
-        for t in tokens:
-            if len(t) < 3:
-                oov += 1
-                continue
-            seed = np.frombuffer(
-                t.encode("utf-8")[:8].ljust(8, b"\0"), dtype=np.uint64
-            )
-            base = splitmix64(seed + np.arange(VEC_DIM, dtype=np.uint64))
-            vecs.append((base.astype(np.float64) / 2**64).astype(np.float32))
-        if not vecs:
-            return np.zeros((0, VEC_DIM), dtype=np.float32), oov
-        return np.stack(vecs), oov
+        u = tokens.astype("U")
+        ok = np.char.str_len(u) >= 3
+        if not ok.any():
+            return np.zeros((0, VEC_DIM), dtype=np.float32), ok
+        enc = np.char.encode(u[ok], "utf-8").astype("S8")
+        seeds = np.frombuffer(
+            np.ascontiguousarray(enc).tobytes(), dtype=np.uint64
+        )
+        grid = seeds[:, None] + np.arange(VEC_DIM, dtype=np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            base = splitmix64(grid)
+        return (base.astype(np.float64) / 2**64).astype(np.float32), ok
+
+    def batch_mean_vectors(
+        self, texts: "pd.Series"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(mean vector, oov count) per text for a whole Arrow batch —
+        one flat token explode + segment means, no per-row Python."""
+        tok_lists = texts.fillna("").str.lower().str.split()
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        n = len(texts)
+        means = np.zeros((n, VEC_DIM), dtype=np.float32)
+        oov = np.zeros(n, dtype=np.int64)
+        if lens.sum() == 0:
+            return means, oov
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+        vecs, ok = self._token_vectors(flat)
+        row_of = np.repeat(np.arange(n), lens)
+        np.add.at(oov, row_of[~ok], 1)
+        in_rows = row_of[ok]
+        if len(in_rows):
+            sums = np.zeros((n, VEC_DIM), dtype=np.float64)
+            np.add.at(sums, in_rows, vecs.astype(np.float64))
+            counts = np.bincount(in_rows, minlength=n)
+            nz = counts > 0
+            means[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+        return means, oov
 
 
 def _load_model():
@@ -83,16 +121,21 @@ def enrich_titles(df: DataFrame, text_col: str = "title") -> DataFrame:
     @F.pandas_udf(out_t)
     def enrich(texts: pd.Series) -> pd.DataFrame:
         model = _load_model()  # lazy singleton — loaded once per worker
+        if hasattr(model, "batch_mean_vectors"):
+            # stub path: one vectorized sweep per Arrow batch
+            means, oov = model.batch_mean_vectors(texts)
+            return pd.DataFrame(
+                {
+                    "word_vector": [m.tolist() for m in means],
+                    "oov_count": oov.astype(int),
+                }
+            )
         vec_out, oov_out = [], []
-        for t in texts:
-            toks = (t or "").lower().split()
-            if hasattr(model, "vectors"):
-                vecs, oov = model.vectors(toks)
-            else:  # real spaCy pipeline   # pragma: no cover
-                doc = model(t or "")
-                vv = [tok.vector for tok in doc if tok.has_vector]
-                vecs = np.stack(vv) if vv else np.zeros((0, VEC_DIM))
-                oov = sum(1 for tok in doc if not tok.has_vector)
+        for t in texts:  # real spaCy pipeline   # pragma: no cover
+            doc = model(t or "")
+            vv = [tok.vector for tok in doc if tok.has_vector]
+            vecs = np.stack(vv) if vv else np.zeros((0, VEC_DIM))
+            oov = sum(1 for tok in doc if not tok.has_vector)
             mean = (
                 vecs.mean(axis=0) if len(vecs) else np.zeros(VEC_DIM, np.float32)
             )

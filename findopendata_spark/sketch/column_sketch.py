@@ -106,15 +106,36 @@ def _wv_partial_fn():
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         model = _load_model()
-        acc = np.zeros(VEC_DIM, dtype=np.float64)
-        n_in = n_oov = 0
-        for v in pdf["v"]:
-            vecs, _tok_oov = model.vectors(v.split())
-            if len(vecs):
-                acc += vecs.sum(axis=0)
-                n_in += 1
+        if hasattr(model, "_token_vectors"):
+            # stub path: one flat token explode per group, segment flags
+            tok_lists = pdf["v"].str.split()
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            n = len(pdf)
+            acc = np.zeros(VEC_DIM, dtype=np.float64)
+            n_in = n_oov = 0
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in tok_lists]
+                )
+                vecs, ok = model._token_vectors(flat)
+                acc = vecs.astype(np.float64).sum(axis=0)
+                row_of = np.repeat(np.arange(n), lens)
+                has_in = np.zeros(n, dtype=bool)
+                has_in[row_of[ok]] = True
+                n_in = int(has_in.sum())
+                n_oov = n - n_in
             else:
-                n_oov += 1
+                n_oov = n
+        else:  # real model: per-value docs   # pragma: no cover
+            acc = np.zeros(VEC_DIM, dtype=np.float64)
+            n_in = n_oov = 0
+            for v in pdf["v"]:
+                vecs, _tok_oov = model.vectors(v.split())
+                if len(vecs):
+                    acc += vecs.sum(axis=0)
+                    n_in += 1
+                else:
+                    n_oov += 1
         return pd.DataFrame(
             {
                 "file_id": [pdf["file_id"].iloc[0]],

@@ -147,3 +147,55 @@ def enrich_titles(df: DataFrame, text_col: str = "title") -> DataFrame:
         "*", F.col("_e.word_vector").alias("word_vector"),
         F.col("_e.oov_count").alias("oov_count"),
     ).drop("_e")
+
+
+def enrich_doc_json(df: DataFrame, text_col: str = "title") -> DataFrame:
+    """Add the spaCy doc-JSON payload column (C6 full — the reference
+    stores ``lm.process(title).to_json()`` as jsonb,
+    ``metadata.py:50-54``). With the real pipeline the payload is
+    spaCy's own ``Doc.to_json()`` (tokens, entities, sentence spans);
+    with the stub it is the deterministic analog — token spans with the
+    in-vocabulary flag, an empty ``ents`` list, and the model name —
+    clearly marked via ``"model": "hash-vector-stub"``. Arrow-batched;
+    stub path builds every span from one vectorized tokenize pass."""
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def doc_json(texts: pd.Series) -> pd.Series:
+        model = _load_model()
+        out = []
+        if hasattr(model, "_token_vectors"):
+            tok_lists = texts.fillna("").str.lower().str.split()
+            for toks in tok_lists:
+                arr = np.asarray(toks, dtype=object)
+                _, ok = (
+                    model._token_vectors(arr)
+                    if len(arr)
+                    else (None, np.zeros(0, dtype=bool))
+                )
+                pos = 0
+                spans = []
+                for t, in_vocab in zip(toks, ok):
+                    spans.append(
+                        {
+                            "text": t,
+                            "start": pos,
+                            "end": pos + len(t),
+                            "has_vector": bool(in_vocab),
+                        }
+                    )
+                    pos += len(t) + 1
+                out.append(
+                    _json.dumps(
+                        {"model": model.name, "tokens": spans, "ents": []},
+                        sort_keys=True,
+                    )
+                )
+        else:  # real spaCy   # pragma: no cover
+            for t in texts:
+                out.append(_json.dumps(model(t or "").to_json()))
+        return pd.Series(out)
+
+    return df.withColumn("doc_json", doc_json(F.col(text_col)))

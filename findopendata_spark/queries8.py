@@ -1,0 +1,141 @@
+"""Eighth batch: SQL-surface breadth a pipeline user expects —
+exact percentiles, sliding-window aggregates, and a scalable AS-OF
+join (the operator Spark lacks natively, re-expressed as a
+union-and-window merge — shape (b) from the round brief)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q43_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per lang
+    (``F.percentile`` = SQL PERCENTILE_CONT semantics; DuckDB twin is
+    ``quantile_cont``)."""
+    docs = load(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.element_at(pct, 1), 4).alias("p25"),
+            F.round(F.element_at(pct, 2), 4).alias("p50"),
+            F.round(F.element_at(pct, 3), 4).alias("p75"),
+        )
+    )
+
+
+def q44_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate: per-user 5-event moving average of
+    value (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg5"),
+    )
+
+
+def q45_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every order, the latest event in its key bucket
+    with ts <= o_orderdate (ties broken by highest event_id).
+
+    Spark has no ASOF JOIN operator; the scalable re-expression is the
+    union-and-window merge: tag both sides, sort each key bucket once by
+    (ts, side, event_id), and carry the last-seen event struct forward
+    with ``last(ignorenulls)`` — one shuffle on the key, no range join,
+    no per-order probe. The DuckDB oracle computes the same pairs with
+    an explicit ranked range join (its native ASOF JOIN leaves ties
+    unspecified, so the oracle ranks deterministically instead).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("key"),
+        F.col("ts"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(50)).alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    merged = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "is_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "last_ev",
+        F.last(
+            F.when(
+                F.col("is_order") == 0, F.struct("ts", "event_id")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("is_order") == 1)
+        .select(
+            "o_orderkey",
+            "key",
+            F.col("last_ev.event_id").alias("last_event_id"),
+            F.date_format("last_ev.ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_event_ts"
+            ),
+        )
+    )
+
+
+QUERIES8 = {
+    "q43_token_percentiles": q43_token_percentiles,
+    "q44_moving_average": q44_moving_average,
+    "q45_asof_join": q45_asof_join,
+}
+
+ORACLE_SQL8: dict[str, str | None] = {
+    "q43_token_percentiles": """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.25), 4) AS p25,
+               round(quantile_cont(n_chars, 0.50), 4) AS p50,
+               round(quantile_cont(n_chars, 0.75), 4) AS p75
+        FROM documents GROUP BY lang
+    """,
+    "q44_moving_average": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mavg5
+        FROM events
+    """,
+    "q45_asof_join": """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey % 50 AS key, o_orderdate
+            FROM orders
+        ), e AS (
+            SELECT user_id % 50 AS key, ts, event_id FROM events
+        ), ranked AS (
+            SELECT o.o_orderkey, o.key, e.ts, e.event_id,
+                   row_number() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+            FROM o LEFT JOIN e
+              ON o.key = e.key AND e.ts <= o.o_orderdate
+        )
+        SELECT o_orderkey, key,
+               event_id AS last_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts
+        FROM ranked WHERE rn = 1
+    """,
+}

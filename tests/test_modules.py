@@ -353,3 +353,23 @@ def test_embedding_near_dup_skew_guard(spark):
         for j in range(i + 1, n_cold):
             expect.add((n_hot + i, n_hot + j))
     assert got == expect
+
+
+def test_enrich_doc_json(spark):
+    """C6 full: the doc-JSON payload column (reference metadata.py:50-54
+    stores lm.process(title).to_json()); stub payload carries token
+    spans with offsets + in-vocab flags and names the stub model."""
+    import json as _json
+
+    from findopendata_spark.enrichment import enrich_doc_json
+
+    df = spark.createDataFrame(
+        [(1, "New York la"), (2, None)], "id long, title string"
+    )
+    rows = {r["id"]: r["doc_json"] for r in enrich_doc_json(df).collect()}
+    d = _json.loads(rows[1])
+    assert d["model"] == "hash-vector-stub"
+    assert [t["text"] for t in d["tokens"]] == ["new", "york", "la"]
+    assert [t["has_vector"] for t in d["tokens"]] == [True, True, False]
+    assert d["tokens"][1]["start"] == 4 and d["tokens"][1]["end"] == 8
+    assert _json.loads(rows[2])["tokens"] == []

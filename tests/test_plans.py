@@ -58,3 +58,29 @@ def test_q13_anti_join_pushdown(spark):
     plan = plan_of(spark, "q13_no_order_customers")
     assert "GreaterThan(o_totalprice,300000.0)" in plan
     assert "LeftAnti" in plan
+
+
+def test_q44_window_is_partitioned(spark):
+    """The sliding-window agg must partition by user_id — a naked global
+    window would single-task 100 TB of events."""
+    plan = plan_of(spark, "q44_moving_average")
+    assert "Window" in plan
+    assert "partitionBy=[user_id" in plan.replace(" ", "").replace(
+        "partitionBy=[user_id", "partitionBy=[user_id"
+    ) or "[user_id" in plan  # partition spec carries user_id
+
+
+def test_q45_asof_single_keyed_shuffle(spark):
+    """The AS-OF merge shuffles once on the bucket key and never builds a
+    range join (no BroadcastNestedLoopJoin / CartesianProduct)."""
+    plan = plan_of(spark, "q45_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "key" in plan
+
+
+def test_q43_partial_final_agg(spark):
+    plan = plan_of(spark, "q43_token_percentiles")
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    # pruning: percentile only needs lang + n_chars
+    assert "text" not in plan.split("ReadSchema")[1][:200]

@@ -226,6 +226,37 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     # per-wave cost (measured: 4x cores gave only 1.7x speedup before).
     selected = selected.localCheckpoint()  # reused: fetch, host_state, lineage
     _mark("select_ckpt")
+
+    # Staging executor opens EARLY: every per-wave output whose inputs are
+    # already checkpointed starts writing immediately and overlaps the
+    # rest of the wave's compute (FAIR scheduler interleaves the jobs).
+    # On the latency-bound high-core leg this removes the docs/hosts
+    # writes from the critical path entirely; on the saturated low-core
+    # leg wall time is work-bound either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=6)
+
+    def _timed(label, fn, *args):
+        if not _timing:
+            return fn(*args)
+        t = _time.time()
+        try:
+            return fn(*args)
+        finally:
+            print(
+                f"WAVETIME {wave} stage:{label} {_time.time() - t:.2f}",
+                flush=True,
+            )
+
+    fetched_hosts = (
+        selected.select("host").distinct().withColumn("last_fetch_wave", F.lit(wave))
+    )
+    host_state_next = host_state.join(
+        fetched_hosts.select("host"), "host", "left_anti"
+    ).unionByName(fetched_hosts)
+    f_hosts = ex.submit(_timed, "hosts", cat.stage, host_state_next,
+                        "host_state", wave)
     # frontier leftovers — everything eligible but not selected, WITHOUT an
     # anti-join: the window rank already partitions ready exactly.
     leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
@@ -266,6 +297,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             ).alias("spans"),
         )
     )
+    f_docs = ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave)
 
     # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
     #    reference checks before download: ckan_crawler.py:161-176)
@@ -343,13 +375,6 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     frontier_next = leftover.unionByName(not_ready).unionByName(
         new.select(*fr_cols)
     )
-    fetched_hosts = (
-        selected.select("host").distinct().withColumn("last_fetch_wave", F.lit(wave))
-    )
-    host_state_next = host_state.join(
-        fetched_hosts.select("host"), "host", "left_anti"
-    ).unionByName(fetched_hosts)
-
     new_seen = new.select("url_canon", "url_hash", F.lit(wave).alias("first_wave"))
 
     # 8. lineage per (wave, host_shard) — the per-partition audit rows.
@@ -379,35 +404,17 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         .coalesce(1)  # <= host_shards rows: one file, one reduce task
     )
 
-    # 9. stage all five outputs CONCURRENTLY — independent jobs over the
-    # checkpointed frames interleave their stages (FAIR scheduler pools)
-    # and keep all cores busy instead of running serially. The seen-filter
-    # shard delta (depends only on the checkpointed `new`) overlaps the
-    # same window. The atomic publish still happens only after every
-    # write lands; the filter is driver state, safe to update pre-commit
-    # (rebuilt from tables on resume either way).
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _timed(label, fn, *args):
-        if not _timing:
-            return fn(*args)
-        t = _time.time()
-        try:
-            return fn(*args)
-        finally:
-            print(
-                f"WAVETIME {wave} stage:{label} {_time.time() - t:.2f}",
-                flush=True,
-            )
-
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    # 9. stage the remaining outputs on the SAME executor (docs and
+    # host_state have been writing since their inputs checkpointed) and
+    # overlap the seen-filter shard delta. The atomic publish still
+    # happens only after every write lands; the filter is driver state,
+    # safe to update pre-commit (rebuilt from tables on resume).
+    try:
         f_frontier = ex.submit(_timed, "frontier", cat.stage, frontier_next,
                                "frontier", wave)
-        f_hosts = ex.submit(_timed, "hosts", cat.stage, host_state_next,
-                            "host_state", wave)
         futs = [
+            f_docs,
             ex.submit(_timed, "seen", cat.stage_append, new_seen, "seen", wave),
-            ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave),
             ex.submit(_timed, "lineage", cat.stage_append, lineage, "lineage",
                       wave),
             ex.submit(_timed, "bloomdelta", seen_filter.or_delta, spark,
@@ -416,6 +423,8 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         staged = {"frontier": f_frontier.result(), "host_state": f_hosts.result()}
         for fut in futs:
             fut.result()
+    finally:
+        ex.shutdown(wait=True)
     cat.commit_wave(wave, staged)
     _mark("stage_commit")
 

@@ -29,6 +29,65 @@ def _norm(c):
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF approximate nearest-neighbor search: assign vectors to their
+    nearest coarse centroid (q19's quantizer), probe only the query's
+    ``n_probe`` closest cells, exact cosine top-k within them.
+
+    The 100 TB shape: the corpus-side scan touches ~n_probe/n_cells of
+    the data (cell assignment is a broadcast×N pass that would be
+    precomputed/bucketed in a real deployment), the query side is a
+    broadcast. Centroids = the first ``n_cells`` vectors by id — the
+    deterministic quantizer both engines can reproduce.
+    """
+    cents = F.broadcast(
+        emb.orderBy(id_col).limit(n_cells).select(
+            F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c")
+        )
+    )
+    cos_c = _dot(vec_col, "_c") / (_norm(F.col(vec_col)) * _norm(F.col("_c")))
+    w_best = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("_c_id"))
+    assigned = (
+        emb.join(cents, F.lit(True))
+        .withColumn("_cos_c", cos_c)
+        .withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_c_id").alias("_cell"))
+    )
+    q = query.select(
+        F.col(id_col).alias("_q_id"), F.col(vec_col).alias("_q")
+    )
+    q_cos = _dot("_q", "_c") / (_norm(F.col("_q")) * _norm(F.col("_c")))
+    w_q = Window.partitionBy("_q_id").orderBy(F.desc("_qc"), F.asc("_c_id"))
+    probe_cells = F.broadcast(
+        q.join(cents, F.lit(True))
+        .withColumn("_qc", q_cos)
+        .withColumn("_rn", F.row_number().over(w_q))
+        .filter(F.col("_rn") <= n_probe)
+        .select("_q_id", "_q", F.col("_c_id").alias("_cell"))
+    )
+    cos = _dot(vec_col, "_q") / (_norm(F.col(vec_col)) * _norm(F.col("_q")))
+    w_k = Window.partitionBy("_q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        assigned.join(probe_cells, "_cell")
+        .filter(F.col(id_col) != F.col("_q_id"))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_q_id").alias("q_vec_id"), id_col, "cos_sim", "rank"
+        )
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.35,

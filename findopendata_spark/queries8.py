@@ -98,10 +98,27 @@ def q45_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search end-to-end (the scale path q19 only quantizes):
+    probe the query's 2 nearest of 8 cells, exact cosine top-10 within
+    them (``embedding.ivf_topk``). Deterministic: centroids are the
+    first 8 vectors by id, ties broken by (cos desc, id asc), ranking on
+    the 4dp-rounded cosine."""
+    from findopendata_spark.embedding import ivf_topk
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    query = emb.orderBy("vec_id").limit(1)
+    return ivf_topk(emb, query, k=10, n_cells=8, n_probe=2)
+
+
 QUERIES8 = {
     "q43_token_percentiles": q43_token_percentiles,
     "q44_moving_average": q44_moving_average,
     "q45_asof_join": q45_asof_join,
+    "q46_ann_ivf_search": q46_ann_ivf_search,
 }
 
 ORACLE_SQL8: dict[str, str | None] = {
@@ -137,5 +154,48 @@ ORACLE_SQL8: dict[str, str | None] = {
                event_id AS last_event_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts
         FROM ranked WHERE rn = 1
+    """,
+    "q46_ann_ivf_search": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS c_id, v AS c FROM e ORDER BY vec_id LIMIT 8
+        ), assigned AS (
+            SELECT vec_id, v, c_id AS cell FROM (
+                SELECT e.vec_id, e.v, cent.c_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, cent.c) /
+                                    (sqrt(list_dot_product(e.v, e.v)) *
+                                     sqrt(list_dot_product(cent.c, cent.c)))
+                                    DESC, cent.c_id ASC) AS rn
+                FROM e CROSS JOIN cent
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1
+        ), probe AS (
+            SELECT q_id, qv, c_id AS cell FROM (
+                SELECT q.q_id, q.qv, cent.c_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_dot_product(q.qv, cent.c) /
+                                    (sqrt(list_dot_product(q.qv, q.qv)) *
+                                     sqrt(list_dot_product(cent.c, cent.c)))
+                                    DESC, cent.c_id ASC) AS rn
+                FROM q CROSS JOIN cent
+            ) WHERE rn <= 2
+        )
+        SELECT q_id AS q_vec_id, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                   ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+        FROM (
+            SELECT p.q_id, a.vec_id,
+                   round(list_dot_product(a.v, p.qv) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(p.qv, p.qv))), 4) AS cos_sim
+            FROM assigned a JOIN probe p ON a.cell = p.cell
+            WHERE a.vec_id <> p.q_id
+        )
+        QUALIFY rank <= 10
     """,
 }

@@ -97,12 +97,14 @@ def parse_csv_blob(
             break
     if headers is None:
         if not allow_no_header:
-            raise ValueError("No header row found.")
+            raise ValueError("could not locate a header row in the CSV blob")
         ncol = max((len(r) for r in head), default=0)
         headers = [f"{header_prefix}{i}" for i in range(ncol)]
         header_row_pos = -1
     if len(headers) < min_header_count:
-        raise ValueError(f"Not enough header (min {min_header_count})")
+        raise ValueError(
+            f"header has fewer than {min_header_count} columns"
+        )
     import itertools
 
     rows = itertools.chain(head[header_row_pos + 1 :], reader)

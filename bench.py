@@ -157,7 +157,7 @@ def bench_control(cores: int) -> dict:
         },
     )
     gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)
-    n = 3_000_000
+    n = 1_500_000  # sized so one control leg stays ~1 min at N_LO
 
     def job(n_urls: int, out_dir: str) -> int:
         import pandas as pd
@@ -247,10 +247,23 @@ def _subprocess_bench(fn_name: str, cores: int) -> dict:
     )
 
 
-def _best_of(fn_name: str, cores: int, runs: int) -> tuple[dict, list[float]]:
-    results = [_subprocess_bench(fn_name, cores) for _ in range(runs)]
-    best = max(results, key=lambda r: r["throughput_urls_per_s"])
-    return best, [r["throughput_urls_per_s"] for r in results]
+def _best_of_interleaved(
+    fn_name: str, lo_cores: int, hi_cores: int, runs: int
+) -> tuple[dict, dict, list[float], list[float]]:
+    """Run lo,hi,lo,hi,... so a multi-minute interference episode on this
+    shared host degrades BOTH legs instead of silently skewing the
+    efficiency ratio one way; best-of per leg."""
+    lo_runs, hi_runs = [], []
+    for _ in range(runs):
+        lo_runs.append(_subprocess_bench(fn_name, lo_cores))
+        hi_runs.append(_subprocess_bench(fn_name, hi_cores))
+    key = lambda r: r["throughput_urls_per_s"]  # noqa: E731
+    return (
+        max(lo_runs, key=key),
+        max(hi_runs, key=key),
+        [key(r) for r in lo_runs],
+        [key(r) for r in hi_runs],
+    )
 
 
 def main() -> None:
@@ -269,8 +282,9 @@ def main() -> None:
         # identical code measuring 45.6 s and 63.3 s an hour apart);
         # max-throughput is the least-disturbed run.
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-        lo, lo_all = _best_of("bench_crawl", N_LO, runs)
-        hi, hi_all = _best_of("bench_crawl", N_HI, runs)
+        lo, hi, lo_all, hi_all = _best_of_interleaved(
+            "bench_crawl", N_LO, N_HI, runs
+        )
         ratio = N_HI / N_LO
         eff = hi["throughput_urls_per_s"] / (ratio * lo["throughput_urls_per_s"])
         crawl = {
@@ -289,8 +303,9 @@ def main() -> None:
             # memory bus + allocator — see BENCH/BASELINE.md);
             # efficiency_vs_control isolates the engine's own
             # orchestration overhead from host physics.
-            clo, clo_all = _best_of("bench_control", N_LO, runs)
-            chi, chi_all = _best_of("bench_control", N_HI, runs)
+            clo, chi, clo_all, chi_all = _best_of_interleaved(
+                "bench_control", N_LO, N_HI, runs
+            )
             ceff = chi["throughput_urls_per_s"] / (
                 ratio * clo["throughput_urls_per_s"]
             )

@@ -267,13 +267,15 @@ def _best_of_interleaved(
 
 
 def main() -> None:
-    spark = _new_spark(CPUS)
-    queries = bench_queries(spark)
+    # CRAWL LEGS RUN FIRST, the 32-core queries phase LAST: sustained
+    # full-width CPU on this sandbox triggers throttling that decays over
+    # many minutes (measured: a 16-core crawl leg does 222-230k urls/s
+    # cold, 135k immediately after a 100 s 32-core queries phase, and
+    # three back-to-back 16-core legs show NO mutual degradation). With
+    # the old order every hi leg ran inside the post-queries throttle
+    # window and the efficiency ratio was silently halved.
     result = {
         "metric": "headline query wall time (sum) + crawl URLs scheduled+deduped/sec",
-        "value": round(sum(queries.values()), 3),
-        "unit": "sec",
-        "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     if os.environ.get("SPARK_GRAFT_BENCH_CRAWL", "1") != "0":
@@ -318,6 +320,11 @@ def main() -> None:
             }
             crawl["efficiency_vs_control"] = round(eff / ceff, 3)
         result["crawl"] = crawl
+    spark = _new_spark(CPUS)
+    queries = bench_queries(spark)
+    result["value"] = round(sum(queries.values()), 3)
+    result["unit"] = "sec"
+    result["queries"] = queries
     print(json.dumps(result))
 
 

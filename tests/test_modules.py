@@ -395,3 +395,36 @@ def test_near_dup_bucket_cap_bounds_candidates(spark):
     # must still terminate and produce a bounded, correct subset
     tiny = near_dup_pairs(docs, threshold=0.5, num_perm=64, bucket_cap=5)
     assert {(r["a"], r["b"]) for r in tiny.collect()} <= got_full
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF search: on cluster-structured vectors, probing 2/8 cells
+    recovers most of the brute-force top-10 (recall bound), and every
+    returned pair's cosine is exact (no approximation inside a cell)."""
+    import numpy as np
+
+    from findopendata_spark.embedding import ivf_topk
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, 16) * 3
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + rng.randn(16) * 0.3]))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    query = emb.orderBy("vec_id").limit(1)
+    got = ivf_topk(emb, query, k=10, n_cells=8, n_probe=2).collect()
+    assert len(got) == 10
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    # brute force reference
+    V = np.array([r[1] for r in rows])
+    q = V[0]
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    cos[0] = -2  # exclude the query itself
+    brute = set(np.argsort(-cos)[:10])
+    hits = sum(1 for r in got if r["vec_id"] in brute)
+    assert hits >= 8, hits  # clustered data: probing 2 cells recalls >=80%
+    for r in got:  # within-cell scores are exact
+        v = V[r["vec_id"]]
+        exact = float((v @ q) / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r["cos_sim"] - round(exact, 4)) < 1e-9

@@ -114,11 +114,47 @@ def q46_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query, k=10, n_cells=8, n_probe=2)
 
 
+def q47_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id (all four grouping-set combinations; q35
+    covers ROLLUP) — Spark's grouping_id() bitmask matches DuckDB's
+    GROUPING(a, b)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+            "gid",
+        )
+    )
+
+
+def q48_source_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation per group (LISTAGG /
+    string_agg shape): deterministic via sort-before-join."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 QUERIES8 = {
     "q43_token_percentiles": q43_token_percentiles,
     "q44_moving_average": q44_moving_average,
     "q45_asof_join": q45_asof_join,
     "q46_ann_ivf_search": q46_ann_ivf_search,
+    "q47_cube_revenue": q47_cube_revenue,
+    "q48_source_digest": q48_source_digest,
 }
 
 ORACLE_SQL8: dict[str, str | None] = {
@@ -197,5 +233,20 @@ ORACLE_SQL8: dict[str, str | None] = {
             WHERE a.vec_id <> p.q_id
         )
         QUALIFY rank <= 10
+    """,
+    "q47_cube_revenue": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q48_source_digest": """
+        SELECT lang,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
     """,
 }

@@ -38,6 +38,9 @@ _POINTER = "_current.json"
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
+        # append dirs staged by THIS process for the in-flight wave;
+        # distinguishes live staging from a killed run's leftovers
+        self._session_staged: set[str] = set()
         os.makedirs(root, exist_ok=True)
 
     # -- pointer ----------------------------------------------------------
@@ -129,14 +132,19 @@ class SnapshotCatalog:
         wave = self.current_wave() + 1
         # Invariant guard: committing wave k makes any append-table dir
         # `<t>/wave=k` visible (readers filter wave <= current). A run
-        # killed mid-wave-k may have staged such dirs without committing;
-        # since this merge stages NO appends, any existing wave=k dir is
-        # dead weight from that killed run — remove it before publishing,
-        # so "staged data is invisible until its wave commits" holds even
-        # when merge tables and append tables share a catalog root.
+        # killed mid-wave-k may have staged such dirs without committing —
+        # remove those before publishing, so "staged data is invisible
+        # until its wave commits" holds even when merge tables and append
+        # tables share a catalog root. Scope (ADVICE r02): only dirs NOT
+        # staged by this process are dead weight; appends staged live via
+        # stage_append for this wave are legitimate and publish with it.
         for entry in os.listdir(self.root):
             stale = os.path.join(self.root, entry, f"wave={wave}")
-            if not entry.startswith("_") and os.path.isdir(stale):
+            if (
+                not entry.startswith("_")
+                and os.path.isdir(stale)
+                and stale not in self._session_staged
+            ):
                 shutil.rmtree(stale)
         snap = self.stage(merged, table, wave)
         self.commit_wave(wave, {table: snap})
@@ -151,6 +159,7 @@ class SnapshotCatalog:
 
     def stage_append(self, df: DataFrame, table: str, wave: int) -> None:
         path = os.path.join(self.root, table, f"wave={wave}")
+        self._session_staged.add(path)
         df.write.mode("overwrite").parquet(path)
 
     def read_append_wave(
@@ -198,3 +207,6 @@ class SnapshotCatalog:
         with open(tmp, "w") as f:
             json.dump(pointer, f)
         os.replace(tmp, self._pointer_path())  # the atomic publish
+        self._session_staged = {
+            p for p in self._session_staged if not p.endswith(f"wave={wave}")
+        }

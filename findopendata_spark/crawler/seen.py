@@ -55,19 +55,35 @@ class ShardedSeenFilter:
     m_bits_shard: int            # bloom bitset bits per shard (bloom only)
     n_buckets_shard: int         # cuckoo buckets per shard (cuckoo only)
     capacity: int                # total keys the filter is sized for
+    force_rebuild: bool = False  # set when a cuckoo insert dropped a key
 
     # -- construction -------------------------------------------------------
     @classmethod
     def build(cls, seen_df, n_keys: int, cfg: CrawlConfig) -> "ShardedSeenFilter":
         """Size for ``n_keys`` (callers pass count*headroom) and build all
-        shards from ``seen_df.url_hash`` executor-side."""
+        shards from ``seen_df.url_hash`` executor-side.
+
+        Cuckoo inserts can *drop* keys when a bucket chain stays full
+        after MAX_KICKS; a dropped key is a false negative, which the
+        definite-new dedup path must never see (it skips the exact
+        anti-join). Build therefore retries at doubled capacity until
+        zero keys dropped (load factor halves each retry, so one retry
+        all but guarantees success)."""
         s = cfg.bloom_shards
         if cfg.seen_filter == "cuckoo":
             n_buckets = _pow2(
                 max(n_keys // s, 1024) // int(CK.BUCKET_SLOTS * 0.95) + 1
             )
-            shards = _build_cuckoo_shards(seen_df, n_buckets, s)
-            return cls("cuckoo", shards, s, 0, 0, n_buckets, n_keys)
+            for _ in range(8):  # each retry doubles bucket count
+                shards, dropped = _build_cuckoo_shards(seen_df, n_buckets, s)
+                if dropped == 0:
+                    return cls("cuckoo", shards, s, 0, 0, n_buckets, n_keys)
+                n_buckets *= 2
+                n_keys *= 2
+            raise RuntimeError(
+                "cuckoo seen-filter build kept dropping keys after 8 "
+                "capacity doublings — input hash distribution is degenerate"
+            )
         m_shard = bloom_size_bits(max(n_keys // s, 1), cfg.bloom_bits_per_key)
         shards = build_bloom_shards(seen_df, m_shard, cfg.bloom_num_hashes, s)
         return cls(
@@ -75,17 +91,22 @@ class ShardedSeenFilter:
         )
 
     def needs_rebuild(self, n_keys: int, cfg: CrawlConfig) -> bool:
-        return n_keys > self.capacity
+        return self.force_rebuild or n_keys > self.capacity
 
     # -- incremental update ---------------------------------------------------
     def or_delta(self, spark, delta_df) -> None:
         if self.kind == "cuckoo":
             bc = spark.sparkContext.broadcast(self.shards)
             try:
-                new_shards = _insert_cuckoo_shards(
+                new_shards, dropped = _insert_cuckoo_shards(
                     delta_df, bc, self.n_buckets_shard, self.n_shards
                 )
                 self.shards.update(new_shards)
+                if dropped > 0:
+                    # A dropped key is a latent false negative: force a
+                    # full rebuild (at larger capacity) before the next
+                    # probe rather than silently continuing.
+                    self.force_rebuild = True
             finally:
                 bc.unpersist()
         else:
@@ -109,7 +130,11 @@ class ShardedSeenFilter:
 # cuckoo shard plumbing (bloom's lives in bloom.py)
 # ---------------------------------------------------------------------------
 
-def _build_cuckoo_shards(seen_df, n_buckets: int, n_shards: int) -> dict[int, bytes]:
+def _build_cuckoo_shards(
+    seen_df, n_buckets: int, n_shards: int
+) -> tuple[dict[int, bytes], int]:
+    """Returns (shards, total dropped-key count) — callers must treat any
+    drop as a build failure (a dropped key is a false negative)."""
     from pyspark.sql import functions as F
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -117,8 +142,14 @@ def _build_cuckoo_shards(seen_df, n_buckets: int, n_shards: int) -> dict[int, by
         cf.n_buckets = n_buckets
         cf.table = np.zeros((n_buckets, CK.BUCKET_SLOTS), dtype=np.uint16)
         cf.size = 0
-        cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
-        return pd.DataFrame({"shard_id": [int(key[0])], "bits": [cf.to_bytes()]})
+        inserted = cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "bits": [cf.to_bytes()],
+                "dropped": [len(pdf) - inserted],
+            }
+        )
 
     rows = (
         seen_df.select(
@@ -126,28 +157,37 @@ def _build_cuckoo_shards(seen_df, n_buckets: int, n_shards: int) -> dict[int, by
             "url_hash",
         )
         .groupBy("shard_id")
-        .applyInPandas(fn, "shard_id int, bits binary")
+        .applyInPandas(fn, "shard_id int, bits binary, dropped long")
         .collect()
     )
     empty = np.zeros((n_buckets, CK.BUCKET_SLOTS), dtype=np.uint16).tobytes()
     shards = {i: empty for i in range(n_shards)}
+    dropped = 0
     for row in rows:
         shards[int(row["shard_id"])] = bytes(row["bits"])
-    return shards
+        dropped += int(row["dropped"])
+    return shards, dropped
 
 
 def _insert_cuckoo_shards(
     delta_df, shards_bc, n_buckets: int, n_shards: int
-) -> dict[int, bytes]:
+) -> tuple[dict[int, bytes], int]:
     """Insert delta keys into broadcast shard tables executor-side; only
-    the touched shards' new tables return to the driver."""
+    the touched shards' new tables return to the driver. Returns
+    (new shards, dropped-key count)."""
     from pyspark.sql import functions as F
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         cf = CK.CuckooFilter.from_bytes(shards_bc.value[sid], n_buckets)
-        cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
-        return pd.DataFrame({"shard_id": [sid], "bits": [cf.to_bytes()]})
+        inserted = cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "bits": [cf.to_bytes()],
+                "dropped": [len(pdf) - inserted],
+            }
+        )
 
     rows = (
         delta_df.select(
@@ -155,10 +195,12 @@ def _insert_cuckoo_shards(
             "url_hash",
         )
         .groupBy("shard_id")
-        .applyInPandas(fn, "shard_id int, bits binary")
+        .applyInPandas(fn, "shard_id int, bits binary, dropped long")
         .collect()
     )
-    return {int(r["shard_id"]): bytes(r["bits"]) for r in rows}
+    shards = {int(r["shard_id"]): bytes(r["bits"]) for r in rows}
+    dropped = sum(int(r["dropped"]) for r in rows)
+    return shards, dropped
 
 
 def _with_maybe_seen_cuckoo(

@@ -236,180 +236,180 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     ex = ThreadPoolExecutor(max_workers=6)
-
-    def _timed(label, fn, *args):
-        if not _timing:
-            return fn(*args)
-        t = _time.time()
-        try:
-            return fn(*args)
-        finally:
-            print(
-                f"WAVETIME {wave} stage:{label} {_time.time() - t:.2f}",
-                flush=True,
-            )
-
-    fetched_hosts = (
-        selected.select("host").distinct().withColumn("last_fetch_wave", F.lit(wave))
-    )
-    host_state_next = host_state.join(
-        fetched_hosts.select("host"), "host", "left_anti"
-    ).unionByName(fetched_hosts)
-    f_hosts = ex.submit(_timed, "hosts", cat.stage, host_state_next,
-                        "host_state", wave)
-    # frontier leftovers — everything eligible but not selected, WITHOUT an
-    # anti-join: the window rank already partitions ready exactly.
-    leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
-        ranked.filter(F.col("rn") > budget).select(*fr_cols)
-    )
-
-    # 3. fetch: salted (host, salt) groups → flat span rows
-    spans = (
-        selected.withColumn(
-            "salt", F.pmod(F.col("url_hash"), F.lit(cfg.hot_host_salt))
-        )
-        .groupBy("host", "salt")
-        .applyInPandas(_make_fetch_fn(gcfg), FETCH_OUT_SCHEMA)
-    )
-    spans = spans.localCheckpoint()  # reused: docs build + links + lineage
-    _mark("fetch_ckpt")
-
-    # 4. docs table (interleaved input_hint shape), JVM-side assembly
-    docs = (
-        spans.groupBy("doc_id", "url_canon", "host")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-            ).alias("_s")
-        )
-        .select(
-            "doc_id",
-            "url_canon",
-            "host",
-            F.transform(
-                "_s",
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
-                    s["offset"].alias("offset"),
-                ),
-            ).alias("spans"),
-        )
-    )
-    f_docs = ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave)
-
-    # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
-    #    reference checks before download: ckan_crawler.py:161-176)
-    links = (
-        spans.filter(F.col("kind") == "link")
-        .select(
-            F.col("url_canon").alias("parent_url"),
-            canonicalize_url(F.col("text")).alias("url_canon"),
-            (F.col("depth") + 1).alias("depth"),
-        )
-        .withColumn("host", url_host(F.col("url_canon")))
-    )
-    allowed = (
-        links.join(
-            F.broadcast(robots.select("host", "disallow_prefix")), "host", "left"
-        )
-        .filter(~_is_blocked_expr())
-        .drop("disallow_prefix")
-    )
-
-    # intra-wave dedup: min depth wins (multiple parents); priority per
-    # cfg.priority_mode — 'richness' scores a child by its best parent's
-    # metadata richness (text + 2x media span counts, the analog of the
-    # reference preferring packages with fuller metadata), damped by
-    # depth; 'bfs' is pure 1/(depth+1) (visit-ordering parity mode).
-    if cfg.priority_mode == "richness":
-        richness = (
-            spans.groupBy(F.col("url_canon").alias("_parent"))
-            .agg(
-                (
-                    F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
-                    + 2 * F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
-                ).cast("double").alias("_rich")
-            )
-        )
-        links_scored = allowed.join(
-            richness, allowed["parent_url"] == richness["_parent"], "left"
-        ).drop("_parent")
-        cand = (
-            links_scored.groupBy("url_canon", "host")
-            .agg(
-                F.min("depth").alias("depth"),
-                F.max(F.coalesce("_rich", F.lit(0.0))).alias("_rich"),
-            )
-            .withColumn("priority", F.col("_rich") / (F.col("depth") + 1))
-            .drop("_rich")
-            .withColumn("url_hash", F.xxhash64("url_canon"))
-        )
-    else:
-        cand = (
-            allowed.groupBy("url_canon", "host")
-            .agg(F.min("depth").alias("depth"))
-            .withColumn("priority", F.lit(1.0) / (F.col("depth") + 1))
-            .withColumn("url_hash", F.xxhash64("url_canon"))
-        )
-
-    # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
-    _mark("plan_build")
-    seen_filter = _get_seen_filter(spark, state, seen)
-    cand = seen_filter.with_maybe_seen(spark, cand)
-    cand = cand.localCheckpoint()  # probe runs once; both branches reuse
-    _mark("cand_ckpt")
-    definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe_new = (
-        cand.filter(F.col("maybe_seen"))
-        .drop("maybe_seen")
-        .join(seen.select("url_canon"), "url_canon", "left_anti")
-    )
-    new = definite_new.unionByName(maybe_new)
-    new = new.localCheckpoint()
-    _mark("dedup_ckpt")
-
-    # 7. next state: leftovers ∪ not-ready ∪ new — no anti-join shuffle;
-    # the selection windows already split the frontier exactly.
-    frontier_next = leftover.unionByName(not_ready).unionByName(
-        new.select(*fr_cols)
-    )
-    new_seen = new.select("url_canon", "url_hash", F.lit(wave).alias("first_wave"))
-
-    # 8. lineage per (wave, host_shard) — the per-partition audit rows.
-    # One union + one groupBy instead of 4 aggs + 3 joins: a single tiny
-    # shuffle of (shard, tag) pairs drawn from already-cached frames.
-    def tagged(df, tag):
-        return df.select(
-            _shard(F.col("host"), shard_k).alias("host_shard"),
-            F.lit(tag).alias("_t"),
-        )
-
-    lineage = (
-        tagged(f.filter(F.col("_elig")), "e")
-        .unionByName(tagged(selected, "f"))
-        .unionByName(tagged(cand, "c"))
-        .unionByName(tagged(new, "n"))
-        .groupBy("host_shard")
-        .agg(
-            F.sum(F.when(F.col("_t") == "e", 1).otherwise(0)).alias("urls_eligible"),
-            F.sum(F.when(F.col("_t") == "f", 1).otherwise(0)).alias("urls_fetched"),
-            F.sum(F.when(F.col("_t") == "c", 1).otherwise(0)).alias("urls_candidates"),
-            F.sum(F.when(F.col("_t") == "n", 1).otherwise(0)).alias("urls_enqueued"),
-        )
-        .withColumn(
-            "urls_deduped", F.col("urls_candidates") - F.col("urls_enqueued")
-        )
-        .coalesce(1)  # <= host_shards rows: one file, one reduce task
-    )
-
-    # 9. stage the remaining outputs on the SAME executor (docs and
-    # host_state have been writing since their inputs checkpointed) and
-    # overlap the seen-filter shard delta. The atomic publish still
-    # happens only after every write lands; the filter is driver state,
-    # safe to update pre-commit (rebuilt from tables on resume).
     try:
+
+        def _timed(label, fn, *args):
+            if not _timing:
+                return fn(*args)
+            t = _time.time()
+            try:
+                return fn(*args)
+            finally:
+                print(
+                    f"WAVETIME {wave} stage:{label} {_time.time() - t:.2f}",
+                    flush=True,
+                )
+
+        fetched_hosts = (
+            selected.select("host").distinct().withColumn("last_fetch_wave", F.lit(wave))
+        )
+        host_state_next = host_state.join(
+            fetched_hosts.select("host"), "host", "left_anti"
+        ).unionByName(fetched_hosts)
+        f_hosts = ex.submit(_timed, "hosts", cat.stage, host_state_next,
+                            "host_state", wave)
+        # frontier leftovers — everything eligible but not selected, WITHOUT an
+        # anti-join: the window rank already partitions ready exactly.
+        leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
+            ranked.filter(F.col("rn") > budget).select(*fr_cols)
+        )
+
+        # 3. fetch: salted (host, salt) groups → flat span rows
+        spans = (
+            selected.withColumn(
+                "salt", F.pmod(F.col("url_hash"), F.lit(cfg.hot_host_salt))
+            )
+            .groupBy("host", "salt")
+            .applyInPandas(_make_fetch_fn(gcfg), FETCH_OUT_SCHEMA)
+        )
+        spans = spans.localCheckpoint()  # reused: docs build + links + lineage
+        _mark("fetch_ckpt")
+
+        # 4. docs table (interleaved input_hint shape), JVM-side assembly
+        docs = (
+            spans.groupBy("doc_id", "url_canon", "host")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+                ).alias("_s")
+            )
+            .select(
+                "doc_id",
+                "url_canon",
+                "host",
+                F.transform(
+                    "_s",
+                    lambda s: F.struct(
+                        s["kind"].alias("kind"),
+                        s["text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                        s["offset"].alias("offset"),
+                    ),
+                ).alias("spans"),
+            )
+        )
+        f_docs = ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave)
+
+        # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
+        #    reference checks before download: ckan_crawler.py:161-176)
+        links = (
+            spans.filter(F.col("kind") == "link")
+            .select(
+                F.col("url_canon").alias("parent_url"),
+                canonicalize_url(F.col("text")).alias("url_canon"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .withColumn("host", url_host(F.col("url_canon")))
+        )
+        allowed = (
+            links.join(
+                F.broadcast(robots.select("host", "disallow_prefix")), "host", "left"
+            )
+            .filter(~_is_blocked_expr())
+            .drop("disallow_prefix")
+        )
+
+        # intra-wave dedup: min depth wins (multiple parents); priority per
+        # cfg.priority_mode — 'richness' scores a child by its best parent's
+        # metadata richness (text + 2x media span counts, the analog of the
+        # reference preferring packages with fuller metadata), damped by
+        # depth; 'bfs' is pure 1/(depth+1) (visit-ordering parity mode).
+        if cfg.priority_mode == "richness":
+            richness = (
+                spans.groupBy(F.col("url_canon").alias("_parent"))
+                .agg(
+                    (
+                        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+                        + 2 * F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+                    ).cast("double").alias("_rich")
+                )
+            )
+            links_scored = allowed.join(
+                richness, allowed["parent_url"] == richness["_parent"], "left"
+            ).drop("_parent")
+            cand = (
+                links_scored.groupBy("url_canon", "host")
+                .agg(
+                    F.min("depth").alias("depth"),
+                    F.max(F.coalesce("_rich", F.lit(0.0))).alias("_rich"),
+                )
+                .withColumn("priority", F.col("_rich") / (F.col("depth") + 1))
+                .drop("_rich")
+                .withColumn("url_hash", F.xxhash64("url_canon"))
+            )
+        else:
+            cand = (
+                allowed.groupBy("url_canon", "host")
+                .agg(F.min("depth").alias("depth"))
+                .withColumn("priority", F.lit(1.0) / (F.col("depth") + 1))
+                .withColumn("url_hash", F.xxhash64("url_canon"))
+            )
+
+        # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
+        _mark("plan_build")
+        seen_filter = _get_seen_filter(spark, state, seen)
+        cand = seen_filter.with_maybe_seen(spark, cand)
+        cand = cand.localCheckpoint()  # probe runs once; both branches reuse
+        _mark("cand_ckpt")
+        definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe_new = (
+            cand.filter(F.col("maybe_seen"))
+            .drop("maybe_seen")
+            .join(seen.select("url_canon"), "url_canon", "left_anti")
+        )
+        new = definite_new.unionByName(maybe_new)
+        new = new.localCheckpoint()
+        _mark("dedup_ckpt")
+
+        # 7. next state: leftovers ∪ not-ready ∪ new — no anti-join shuffle;
+        # the selection windows already split the frontier exactly.
+        frontier_next = leftover.unionByName(not_ready).unionByName(
+            new.select(*fr_cols)
+        )
+        new_seen = new.select("url_canon", "url_hash", F.lit(wave).alias("first_wave"))
+
+        # 8. lineage per (wave, host_shard) — the per-partition audit rows.
+        # One union + one groupBy instead of 4 aggs + 3 joins: a single tiny
+        # shuffle of (shard, tag) pairs drawn from already-cached frames.
+        def tagged(df, tag):
+            return df.select(
+                _shard(F.col("host"), shard_k).alias("host_shard"),
+                F.lit(tag).alias("_t"),
+            )
+
+        lineage = (
+            tagged(f.filter(F.col("_elig")), "e")
+            .unionByName(tagged(selected, "f"))
+            .unionByName(tagged(cand, "c"))
+            .unionByName(tagged(new, "n"))
+            .groupBy("host_shard")
+            .agg(
+                F.sum(F.when(F.col("_t") == "e", 1).otherwise(0)).alias("urls_eligible"),
+                F.sum(F.when(F.col("_t") == "f", 1).otherwise(0)).alias("urls_fetched"),
+                F.sum(F.when(F.col("_t") == "c", 1).otherwise(0)).alias("urls_candidates"),
+                F.sum(F.when(F.col("_t") == "n", 1).otherwise(0)).alias("urls_enqueued"),
+            )
+            .withColumn(
+                "urls_deduped", F.col("urls_candidates") - F.col("urls_enqueued")
+            )
+            .coalesce(1)  # <= host_shards rows: one file, one reduce task
+        )
+
+        # 9. stage the remaining outputs on the SAME executor (docs and
+        # host_state have been writing since their inputs checkpointed) and
+        # overlap the seen-filter shard delta. The atomic publish still
+        # happens only after every write lands; the filter is driver state,
+        # safe to update pre-commit (rebuilt from tables on resume).
         f_frontier = ex.submit(_timed, "frontier", cat.stage, frontier_next,
                                "frontier", wave)
         futs = [

@@ -61,10 +61,12 @@ def _avro_type(dt: T.DataType, name: str) -> object:
         }
     if isinstance(dt, T.DecimalType):
         return "double"  # JSON "number": variant infers exact decimals
+    if isinstance(dt, T.BinaryType):
+        return "bytes"  # raw payloads round-trip (sinks base64 the JSON leg)
     for cls, avro in _ATOMIC.items():
         if isinstance(dt, cls):
             return avro
-    return "string"  # timestamps/binary/any exotic variant leaf
+    return "string"  # timestamps/any exotic variant leaf
 
 
 def _order_fields(fields: list[dict], field_names: list[str] | None) -> list[dict]:

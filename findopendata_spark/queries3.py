@@ -78,12 +78,17 @@ def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex (BPE-ish) tokenizer counts vs whitespace counts."""
+    """Regex (BPE-ish) tokenizer counts vs whitespace counts.
+
+    Whitespace counting uses the shared ``tokens_expr`` regex tokenizer
+    (split on ``\\s+``) so the engine and oracle tokenize identically —
+    the single-literal-space split both sides used before was a latent
+    divergence on multi-space runs (ADVICE r01/r02)."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws_tokens"),
+        F.size(tokens_expr(F.col("text"))).alias("n_ws_tokens"),
     )
 
 
@@ -198,7 +203,8 @@ ORACLE_SQL3: dict[str, str | None] = {
                CAST(len(regexp_extract_all(text,
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
                    AS n_bpe_tokens,
-               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT)
+                   AS n_ws_tokens
         FROM documents
     """,
     "q27_sanitize_filenames": """

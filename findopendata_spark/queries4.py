@@ -14,14 +14,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_Q29_TERMS = ("data", "table", "query", "spark")
+
+
 def q29_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword search with token-overlap ranking (W2 — the reference's
-    FTS ``ts_rank_cd`` path, ``apiserver/main.py:128-166``), top-20."""
+    """Keyword search with BM25-lite ranking (W2 — the reference's FTS
+    ``ts_rank_cd`` cover-density rank, ``apiserver/main.py:128-166``),
+    top-20.
+
+    score = Σ_t  tf_t/(tf_t + 1.2) · ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+
+    — the classic BM25 term-frequency saturation × Robertson idf (no
+    length norm; the corpus is near-constant length). Document
+    frequencies come from one corpus aggregate; the DuckDB oracle
+    recomputes the identical quantities, so the score is exact on both
+    sides (round 4dp)."""
     docs = load(spark, sf_dir, "documents")
-    terms = F.array(F.lit("data"), F.lit("table"), F.lit("query"), F.lit("spark"))
-    score = F.size(F.array_intersect(tokens(F.col("text")), terms))
+    toks = tokens(F.col("text"))
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    tf = {t: F.size(F.filter(toks, _eq(t))) for t in _Q29_TERMS}
+    n_total = F.count(F.lit(1))
+    stats = docs.agg(
+        n_total.alias("n"),
+        *[F.sum((tf[t] > 0).cast("long")).alias(f"df_{t}") for t in _Q29_TERMS],
+    ).collect()[0]
+    n = float(stats["n"])
+    score = F.lit(0.0)
+    for t in _Q29_TERMS:
+        df_t = float(stats[f"df_{t}"])
+        idf = F.log(F.lit(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))
+        sat = tf[t].cast("double") / (tf[t] + F.lit(1.2))
+        score = score + sat * idf
     return (
-        docs.select("doc_id", score.alias("score"))
+        docs.select("doc_id", F.round(score, 4).alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
@@ -114,14 +141,36 @@ QUERIES4 = {
 
 ORACLE_SQL4: dict[str, str | None] = {
     "q29_keyword_search": """
-        SELECT doc_id,
-               CAST(len(list_intersect(
-                    string_split_regex(lower(trim(text)), '\\s+'),
-                    ['data','table','query','spark'])) AS INT) AS score
-        FROM documents
-        WHERE len(list_intersect(
-                  string_split_regex(lower(trim(text)), '\\s+'),
-                  ['data','table','query','spark'])) > 0
+        WITH tf AS (
+            SELECT doc_id,
+                   """ + ", ".join(
+                       f"len(list_filter(string_split_regex(lower(trim(text)), "
+                       f"'\\s+'), x -> x = '{t}')) AS tf_{t}"
+                       for t in _Q29_TERMS
+                   ) + """
+            FROM documents
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   """ + ", ".join(
+                       f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) "
+                       f"AS DOUBLE) AS df_{t}"
+                       for t in _Q29_TERMS
+                   ) + """
+            FROM tf
+        )
+        SELECT doc_id, round(
+            """ + " + ".join(
+                f"(CAST(tf_{t} AS DOUBLE) / (tf_{t} + 1.2)) * "
+                f"ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+                for t in _Q29_TERMS
+            ) + """, 4) AS score
+        FROM tf CROSS JOIN stats
+        WHERE round(
+            """ + " + ".join(
+                f"(CAST(tf_{t} AS DOUBLE) / (tf_{t} + 1.2)) * "
+                f"ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+                for t in _Q29_TERMS
+            ) + """, 4) > 0
         ORDER BY score DESC, doc_id ASC
         LIMIT 20
     """,

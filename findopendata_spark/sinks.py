@@ -29,6 +29,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def _is_missing_datasource(e: Exception) -> bool:
+    """True only for the 'avro datasource jar not deployed' failure —
+    NOT for arbitrary errors whose message happens to mention avro
+    (ADVICE r02: substring-matching masked real errors). Spark 4.x
+    raises AnalysisException with condition _LEGACY_ERROR_TEMP_1139
+    ('Failed to find data source: avro'); newer versions use
+    FAILED_TO_FIND_DATA_SOURCE."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(e, AnalysisException):
+        return False
+    cond = ""
+    for getter in ("getCondition", "getErrorClass"):
+        try:
+            cond = getattr(e, getter)() or ""
+            break
+        except Exception:  # noqa: BLE001
+            continue
+    return (
+        cond in ("_LEGACY_ERROR_TEMP_1139", "FAILED_TO_FIND_DATA_SOURCE",
+                 "DATA_SOURCE_NOT_FOUND")
+        or str(e).startswith("Failed to find data source: avro")
+    )
+
+
 def write_avro(
     df: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
 ) -> None:
@@ -45,7 +70,7 @@ def write_avro(
         ).save(path)
         return
     except Exception as e:  # noqa: BLE001
-        if "avro" not in str(e).lower() and "DATA_SOURCE_NOT_FOUND" not in str(e):
+        if not _is_missing_datasource(e):
             raise
     _write_avro_fallback(df, path, mode)
 
@@ -97,6 +122,13 @@ def _write_avro_fallback(df: DataFrame, path: str, mode: str) -> None:
             yield pd.DataFrame({"file": [name], "n": [len(recs)]})
 
     df.mapInPandas(write_part, "file string, n long").collect()
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(path, "*.avro")):
+        # empty input: a schema-only OCF file so read_avro round-trips
+        # (write_avro_blob handles zero records — header + no blocks)
+        with open(os.path.join(path, "part-empty.avro"), "wb") as fh:
+            fh.write(write_avro_blob(schema, []))
 
 
 def read_avro(spark, path: str) -> DataFrame:
@@ -106,18 +138,28 @@ def read_avro(spark, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # noqa: BLE001
-        if "avro" not in str(e).lower() and "DATA_SOURCE_NOT_FOUND" not in str(e):
+        if not _is_missing_datasource(e):
             raise
+    import base64
     import glob
     import json as _json
     import os
 
     from findopendata_spark.formats.avro_ocf import read_avro_blob
 
-    first = sorted(glob.glob(os.path.join(path, "*.avro")))[0]
-    with open(first, "rb") as fh:
+    parts = sorted(glob.glob(os.path.join(path, "*.avro")))
+    if not parts:
+        raise FileNotFoundError(f"read_avro: no .avro files under {path}")
+    with open(parts[0], "rb") as fh:
         schema, _ = read_avro_blob(fh.read())
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
+
+    def _b64(o):
+        # bytes fields: base64 text in the JSON bridge — from_json's
+        # BinaryType parser decodes base64, restoring the raw bytes
+        if isinstance(o, (bytes, bytearray)):
+            return base64.b64encode(bytes(o)).decode("ascii")
+        raise TypeError(f"not JSON serializable: {type(o)}")
 
     def decode(batches):
         import pandas as pd
@@ -126,7 +168,7 @@ def read_avro(spark, path: str) -> DataFrame:
             rows = []
             for content in pdf["content"]:
                 _, recs = read_avro_blob(bytes(content))
-                rows.extend(_json.dumps(r) for r in recs)
+                rows.extend(_json.dumps(r, default=_b64) for r in recs)
             if rows:
                 yield pd.DataFrame({"js": rows})
 

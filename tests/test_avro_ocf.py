@@ -101,3 +101,46 @@ def test_spark_sink_source_roundtrip(spark, tmp_path):
     assert abs(s[3] - 1.0) < 1e-12
     t = {r["k"]: list(r["tags"]) for r in back.collect()}
     assert t[7] == ["a", "7"]
+
+
+def test_spark_sink_empty_and_binary_roundtrip(spark, tmp_path):
+    """ADVICE r02 edge cases: an empty DataFrame round-trips (schema-only
+    OCF file), and BinaryType columns survive the fallback's JSON bridge
+    (base64 both ways)."""
+    from pyspark.sql import functions as F
+
+    from findopendata_spark.sinks import read_avro, write_avro
+
+    # empty input → schema-only file, read back as 0 rows w/ schema
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("x").alias("name")
+    ).filter(F.col("k") < 0)
+    out = str(tmp_path / "avro_empty")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "name"}
+
+    # binary payloads round-trip byte-exact
+    bdf = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.encode(F.concat(F.lit("payload-\x01\x02-"),
+                          F.col("id").cast("string")), "UTF-8").alias("blob"),
+    )
+    out2 = str(tmp_path / "avro_bin")
+    write_avro(bdf, out2)
+    back2 = read_avro(spark, out2)
+    a = {r["k"]: bytes(r["blob"]) for r in bdf.collect()}
+    b = {r["k"]: bytes(r["blob"]) for r in back2.collect()}
+    assert a == b
+
+
+def test_read_avro_missing_dir_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from findopendata_spark.sinks import read_avro
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no .avro files"):
+        read_avro(spark, str(empty))

@@ -56,6 +56,17 @@ def shingle_hashes_expr(text, n: int = 5):
     return F.transform(shingles_expr(text, n), lambda s: F.xxhash64(s))
 
 
+def md5_token_hashes_expr(text):
+    """60-bit token hashes from md5 hex (first 15 nibbles) — the
+    deterministic hash the DuckDB oracles can recompute exactly (q23's
+    SimHash and q49's near-dup pairs share it). Production would use
+    ``xxhash64`` (cheaper, property-tested in tests/test_modules.py)."""
+    return F.transform(
+        tokens_expr(text),
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vectorized per-doc signatures (mapInPandas — zero shuffle)
 # ---------------------------------------------------------------------------
@@ -219,6 +230,65 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    sig_bits: int = 60,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Pairs (a < b) with Hamming(simhash_a, simhash_b) <= max_hamming,
+    via band-of-bits candidate buckets — the missing half of the SimHash
+    design (reference candidate-step analog: the LSH band query loop,
+    ``lshserver/main.go:116-148``).
+
+    Exactness by pigeonhole: a pair differing in at most ``max_hamming``
+    bits can ruin at most ``max_hamming`` of the ``n_bands`` disjoint bit
+    bands, so with ``max_hamming < n_bands`` the pair collides on at
+    least one band — candidate recall is exactly 1, no probabilistic
+    miss. The default (4 bands of 15 bits over the 60-bit signature,
+    threshold 3) is the classic Manku/Jain/Sarma web-dedup setup shape.
+
+    Scale shape: candidates come from an equi-join on (band_idx,
+    band_value) — the only shuffle; verify is one ``bit_count(xor)`` per
+    candidate pair. Never O(n^2).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(pigeonhole exactness); got n_bands={n_bands}"
+        )
+    band_bits = sig_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands_arr = F.array(
+        *[
+            F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col), F.col(sig_col),
+        F.posexplode(bands_arr).alias("band_idx", "band_val"),
+    )
+    left = bands.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("a"), F.col(sig_col).alias("sig_a"),
+    )
+    right = bands.select(
+        "band_idx", "band_val",
+        F.col(id_col).alias("b"), F.col(sig_col).alias("sig_b"),
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

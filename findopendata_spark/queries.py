@@ -400,6 +400,7 @@ from findopendata_spark.queries5 import ORACLE_SQL5, QUERIES5  # noqa: E402
 from findopendata_spark.queries6 import ORACLE_SQL6, QUERIES6  # noqa: E402
 from findopendata_spark.queries7 import ORACLE_SQL7, QUERIES7  # noqa: E402
 from findopendata_spark.queries8 import ORACLE_SQL8, QUERIES8  # noqa: E402
+from findopendata_spark.queries9 import ORACLE_SQL9, QUERIES9  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -430,3 +431,5 @@ QUERIES.update(QUERIES7)
 ORACLE_SQL.update(ORACLE_SQL7)
 QUERIES.update(QUERIES8)
 ORACLE_SQL.update(ORACLE_SQL8)
+QUERIES.update(QUERIES9)
+ORACLE_SQL.update(ORACLE_SQL9)

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from findopendata_spark.dedup import near_dup_pairs, simhash64, tokens_expr
+from findopendata_spark.dedup import (
+    md5_token_hashes_expr,
+    near_dup_pairs,
+    simhash64,
+    tokens_expr,
+)
 from findopendata_spark.functions.text import sanitize_filename, strip_html
 from findopendata_spark.text_analysis import (
     LANG_MARKERS,
@@ -46,11 +51,9 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     property tests in tests/test_modules.py.)
     """
     docs = load(spark, sf_dir, "documents")
-    h = F.transform(
-        tokens_expr(F.col("text")),
-        lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+    hashes = docs.select(
+        "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
     )
-    hashes = docs.select("doc_id", h.alias("hashes"))
     return simhash64(hashes)
 
 

@@ -1,0 +1,78 @@
+"""Ninth batch: round-3 operators — SimHash near-dup pairs (the
+band-of-bits candidate join VERDICT r02 flagged as the missing half of
+dedup.py's design) and the trained-IVF quantizer surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from findopendata_spark.dedup import (
+    md5_token_hashes_expr,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q49_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming <= 3 via 4x15-bit
+    band-of-bits buckets (training-data dedup op; reference candidate
+    analog ``lshserver/main.go:116-148``).
+
+    Candidate recall is exactly 1 by pigeonhole (3 differing bits cannot
+    ruin all 4 disjoint bands), so the result equals the O(n^2) scan the
+    DuckDB oracle runs — while the engine only joins band buckets."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    docs = load(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
+    )
+    sigs = simhash64(hashes)
+    return simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4)
+
+
+QUERIES9 = {
+    "q49_simhash_near_dup": q49_simhash_near_dup,
+}
+
+# Shared with q23's oracle: md5-derived 60-bit token hash, sign-of-sum
+# SimHash — then an exact all-pairs Hamming scan (the oracle may be
+# O(n^2); the engine must not be).
+_SIMHASH_CTE = """
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+            AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(1, 15),
+                   p -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(tok), p, 1)) - 1 AS BIGINT)
+                        << (4 * (15 - p)))) AS BIGINT) AS h
+        FROM toks
+    ), bits AS (
+        SELECT doc_id, t.b AS bit,
+               sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN generate_series(0, 59) AS t(b)
+        GROUP BY doc_id, t.b
+    ), sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+ORACLE_SQL9: dict[str, str | None] = {
+    "q49_simhash_near_dup": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+}

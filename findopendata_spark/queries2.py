@@ -122,17 +122,16 @@ def q17_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q18_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: min hash over all char-8-gram digests — the
-    winnowing-style rolling-window fingerprint (training-data op)."""
+    """Document fingerprint: min over all char-8-gram rolling polynomial
+    hashes (training-data op) — vectorized constant-memory kernel
+    (:func:`findopendata_spark.dedup.rolling_min_fingerprint`; replaces
+    the md5-string array whose ~33x text amplification VERDICT r02
+    flagged as an executor-OOM shape)."""
+    from findopendata_spark.dedup import rolling_min_fingerprint
+
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    t = F.lower(F.col("text"))
-    fp = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - 7),
-            lambda i: F.md5(F.encode(F.substr(t, i, F.lit(8)), "UTF-8")),
-        )
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    return rolling_min_fingerprint(lowered, n=8)
 
 
 def q19_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,13 +308,9 @@ ORACLE_SQL2: dict[str, str | None] = {
         ORDER BY trigram_jaccard DESC, doc_id ASC
         LIMIT 10
     """,
-    "q18_winnow_fingerprint": """
-        SELECT doc_id,
-               list_min(list_transform(
-                   generate_series(1, length(lower(text)) - 7),
-                   i -> md5(substr(lower(text), i, 8)))) AS fingerprint
-        FROM documents WHERE length(text) >= 8
-    """,
+    # Same rolling polynomial (base 257 mod 2^31-1 over codepoints) as
+    # dedup.rolling_min_fingerprint, unrolled as iterated-mod BIGINT math.
+    "q18_winnow_fingerprint": None,  # filled below (generated expression)
     "q19_ann_ivf": """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -360,3 +355,26 @@ ORACLE_SQL2: dict[str, str | None] = {
         FROM marked GROUP BY user_id
     """,
 }
+
+# q18 oracle: the rolling polynomial unrolled — H_0 = ord(c_i), then
+# H_j = (H_{j-1} * 257 + ord(c_{i+j})) % (2^31-1); intermediates stay
+# < 2^40 so plain BIGINT arithmetic is exact.
+from findopendata_spark.dedup import FP_BASE as _FPB  # noqa: E402
+from findopendata_spark.dedup import FP_MOD as _FPM  # noqa: E402
+
+_FP_EXPR = "CAST(ord(substr(t, i, 1)) AS BIGINT)"
+for _j in range(1, 8):
+    _FP_EXPR = (
+        f"(({_FP_EXPR}) * {_FPB} + ord(substr(t, i + {_j}, 1))) % {_FPM}"
+    )
+ORACLE_SQL2["q18_winnow_fingerprint"] = f"""
+    WITH lowered AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(text) >= 8
+    )
+    SELECT doc_id,
+           CAST(list_min(list_transform(
+               generate_series(1, length(t) - 7),
+               i -> {_FP_EXPR})) AS BIGINT) AS fingerprint
+    FROM lowered
+"""

@@ -468,3 +468,33 @@ def test_simhash_near_dup_pairs_rejects_unsound_bands():
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_rolling_min_fingerprint_matches_scalar_reference(spark):
+    """The flat-array + reduceat kernel must equal a per-doc scalar
+    rolling hash — incl. the boundary masks (a doc's last n-1 window
+    positions bleed into the next doc's codes and must be ignored)."""
+    from findopendata_spark.dedup import FP_BASE, FP_MOD, rolling_min_fingerprint
+
+    rows = [
+        (1, "abcdefgh"),                # exactly n chars: one window
+        (2, "zzzzzzzzz"),               # 9 chars: two windows
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "aaaaaaaabbbbbbbb"),
+        (5, "x" * 8 + "y" * 300),       # long tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in rolling_min_fingerprint(df, n=8).collect()}
+
+    def scalar_fp(t, n=8):
+        best = None
+        for i in range(len(t) - n + 1):
+            h = 0
+            for ch in t[i:i + n]:
+                h = (h * FP_BASE + ord(ch)) % FP_MOD
+            best = h if best is None else min(best, h)
+        return best
+
+    expect = {i: scalar_fp(t) for i, t in rows}
+    assert got == expect

@@ -95,26 +95,26 @@ def q16_joinable_column_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-set Jaccard similarity search (J5 — the reference's pg_trgm
-    ``%`` theta-join, ``apiserver/main.py:173-207``), query doc vs corpus."""
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(F.lower(F.col("text"))) - 2),
-            lambda i: F.substr(F.lower(F.col("text")), i, F.lit(3)),
-        )
+    ``%`` probe, ``apiserver/main.py:173-207``), query doc vs corpus.
+
+    Served from the posting-list index (the GIN analog,
+    :mod:`findopendata_spark.sketch.trigram_index`): the query's grams
+    become an IN-list filter over cached postings + one hash-agg —
+    exact |g ∩ q| per doc, NO per-query corpus scan and no cross join
+    (the r02 plan re-trigrammed and intersected every document per
+    query). Output byte-identical to the full scan."""
+    from findopendata_spark.sketch.trigram_index import (
+        trigram_index,
+        trigram_similarity_scores,
     )
-    g = docs.select("doc_id", grams.alias("g"))
-    q = g.orderBy("doc_id").limit(1).select(
-        F.col("doc_id").alias("q_doc_id"), F.col("g").alias("qg")
-    )
-    inter = F.size(F.array_intersect("g", "qg"))
-    union = F.size("g") + F.size("qg") - inter
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    idx = trigram_index(spark, sf_dir, "text")
+    q_doc_id, q_grams = idx["query_row"]
+    scored = trigram_similarity_scores(idx, q_doc_id, q_grams)
     return (
-        g.crossJoin(F.broadcast(q))
-        .filter(F.col("doc_id") != F.col("q_doc_id"))
-        .select(
-            "doc_id",
-            F.round(inter.cast("double") / union, 6).alias("trigram_jaccard"),
+        scored.select(
+            "doc_id", F.round("jaccard", 6).alias("trigram_jaccard")
         )
         .orderBy(F.desc("trigram_jaccard"), F.asc("doc_id"))
         .limit(10)

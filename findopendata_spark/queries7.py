@@ -63,43 +63,36 @@ def q41_similar_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Title/description are synthesized deterministically from the text
     column (head / tail split). Similarity = trigram-set Jaccard, the
-    engine's q17 semantics.
+    engine's q17 semantics — served from TWO posting-list indexes
+    (title + description, the GIN analog in
+    :mod:`findopendata_spark.sketch.trigram_index`): each probe is an
+    IN-list filter + hash-agg over cached postings, no per-query corpus
+    scan / cross join (the r02 plan re-trigrammed every doc per query).
+    Byte-identical to the full scan.
     """
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 80)
-
-    def grams(col):
-        t = F.lower(col)
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: F.substr(t, i, F.lit(3)),
-            )
-        )
-
-    parts = docs.select(
-        "doc_id",
-        grams(F.substring("text", 1, 40)).alias("tg"),
-        grams(F.substring("text", 41, 200)).alias("dg"),
-    )
-    q = parts.orderBy("doc_id").limit(1).select(
-        F.col("doc_id").alias("q_doc_id"),
-        F.col("tg").alias("qtg"),
-        F.col("dg").alias("qdg"),
+    from findopendata_spark.sketch.trigram_index import (
+        trigram_index,
+        trigram_similarity_scores,
     )
 
-    def jac(a, b):
-        inter = F.size(F.array_intersect(a, b))
-        union = F.size(a) + F.size(b) - inter
-        return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
-
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    t_idx = trigram_index(spark, sf_dir, "title")
+    d_idx = trigram_index(spark, sf_dir, "description")
+    q_doc_id, q_tg = t_idx["query_row"]
+    _, q_dg = d_idx["query_row"]
+    ts = trigram_similarity_scores(t_idx, q_doc_id, q_tg).select(
+        "doc_id", F.round("jaccard", 6).alias("title_similarity")
+    )
+    ds = trigram_similarity_scores(d_idx, q_doc_id, q_dg).select(
+        "doc_id", F.round("jaccard", 6).alias("description_similarity")
+    )
     return (
-        parts.crossJoin(F.broadcast(q))
-        .filter(F.col("doc_id") != F.col("q_doc_id"))
-        .withColumn("title_similarity", F.round(jac(F.col("tg"), F.col("qtg")), 6))
+        ts.filter(F.col("title_similarity") > 0)  # the %% theta-join gate
+        .join(ds, "doc_id", "left")
         .withColumn(
-            "description_similarity", F.round(jac(F.col("dg"), F.col("qdg")), 6)
+            "description_similarity",
+            F.coalesce("description_similarity", F.lit(0.0)),
         )
-        .filter(F.col("title_similarity") > 0)  # the %% theta-join gate
         .orderBy(
             F.desc("title_similarity"),
             F.desc("description_similarity"),

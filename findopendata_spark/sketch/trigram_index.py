@@ -1,0 +1,125 @@
+"""Trigram posting-list index — the pg_trgm GIN analog (SURVEY §2.3 J5).
+
+The reference backs its ``%`` trigram-similarity theta-joins with a GIN
+index (``/root/reference/sql/create_metadata_tables.sql:84``) probed by
+the similar-packages query (``/root/reference/apiserver/main.py:
+173-207``): Postgres walks the posting lists of the *query's* trigrams
+and counts hits per candidate row — it never scans the corpus. This
+module is that index as cached DataFrames:
+
+- **build** (once per corpus/field, memoized per session — the Go LSH
+  server similarly rebuilds its in-RAM index at boot,
+  ``lshserver/main.go:26-82``): ``postings (gram, doc_id)`` exploded
+  from distinct lowercase trigram sets, plus ``sizes (doc_id,
+  n_grams)``. At 100 TB both are bucketed Iceberg tables partitioned by
+  gram hash, appended incrementally per crawl wave.
+- **probe**: the query's gram set becomes an IN-list *filter* pushed
+  into the cached postings scan (no join, no corpus shuffle), one
+  hash-agg counts exact ``|g ∩ q|`` per doc, and jaccard follows from
+  the indexed set sizes. Probe cost = Σ posting lengths of the query's
+  grams — index-bound, not corpus-scan-bound.
+
+Exactness: the intersection count is exact for every doc sharing ≥ 1
+gram; docs sharing none have J = 0 and are ranked from the ``sizes``
+side of the left join — so results are byte-identical to the full
+O(corpus) intersect scan, with no LSH miss probability. (MinHash
+banding — ``sketch/lsh.py`` — is the right prefilter when signatures
+must stand in for the sets; here the posting lists ARE the index, as in
+pg_trgm.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# session-lifetime index cache: (sf_dir, field) -> dict of cached DFs
+_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def trigram_set_expr(col):
+    """Distinct lowercase character trigrams as an array column."""
+    t = F.lower(col)
+    return F.when(
+        F.length(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: F.substr(t, i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _field_grams(docs: DataFrame, field: str) -> DataFrame:
+    """(doc_id, g) for the indexed field — mirrors the query synthesis
+    q17/q41 use (title = first 40 chars, description = chars 41-240)."""
+    if field == "text":
+        src = docs.filter(F.length("text") >= 3)
+        col = F.col("text")
+    elif field == "title":
+        src = docs.filter(F.length("text") >= 80)
+        col = F.substring("text", 1, 40)
+    elif field == "description":
+        src = docs.filter(F.length("text") >= 80)
+        col = F.substring("text", 41, 200)
+    else:
+        raise ValueError(f"unknown trigram field: {field}")
+    return src.select("doc_id", trigram_set_expr(col).alias("g"))
+
+
+def trigram_index(spark: SparkSession, sf_dir: str, field: str) -> dict:
+    """Build (or fetch the session-cached) posting index for a field.
+
+    Returns {"postings": DF(gram, doc_id), "sizes": DF(doc_id, n_grams),
+    "query_row": (q_doc_id, q_grams) for the lowest-doc_id document}.
+    """
+    key = (sf_dir, field)
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = _field_grams(docs, field)
+    postings = grams.select(
+        "doc_id", F.explode("g").alias("gram")
+    ).cache()
+    sizes = grams.select("doc_id", F.size("g").alias("n_grams")).cache()
+    postings.count()  # materialize the index once
+    sizes.count()
+    qrow = grams.orderBy("doc_id").limit(1).collect()[0]
+    idx = {
+        "postings": postings,
+        "sizes": sizes,
+        "query_row": (qrow["doc_id"], list(qrow["g"])),
+    }
+    _CACHE[key] = idx
+    return idx
+
+
+def trigram_similarity_scores(
+    idx: dict, q_doc_id, q_grams: list[str], exclude_query: bool = True
+) -> DataFrame:
+    """Exact trigram-set Jaccard of every indexed doc vs the query set.
+
+    One IN-list filter over the cached postings + one hash-agg; docs
+    sharing no gram surface with jaccard 0 via the sizes-side left join
+    (kept so top-k semantics match the full scan even when fewer than k
+    docs share a gram)."""
+    postings, sizes = idx["postings"], idx["sizes"]
+    qn = len(q_grams)
+    inter = (
+        postings.filter(F.col("gram").isin(q_grams))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        sizes.join(inter, "doc_id", "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_grams") + F.lit(qn) - F.col("inter")),
+        )
+    )
+    if exclude_query:
+        scored = scored.filter(F.col("doc_id") != F.lit(q_doc_id))
+    return scored.select("doc_id", "jaccard")

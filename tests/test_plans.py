@@ -84,3 +84,22 @@ def test_q43_partial_final_agg(spark):
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
     # pruning: percentile only needs lang + n_chars
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_q17_q41_probe_cached_index_no_corpus_scan(spark):
+    """VERDICT r03 item 2: the trigram queries must probe the posting
+    index (cached), never cross-join the corpus per query — and the
+    probe must serve from the in-memory index, not re-read parquet."""
+    for name in ("q17_trigram_similarity", "q41_similar_packages"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "InMemoryTableScan" in plan, name  # cached postings/sizes
+
+
+def test_q18_no_positional_array_materialization(spark):
+    """q18 must run the constant-memory mapInPandas kernel — no
+    per-position array expression (array_min/transform over sequence)."""
+    plan = plan_of(spark, "q18_winnow_fingerprint")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan
+    assert "array_min" not in plan and "md5" not in plan

@@ -29,6 +29,102 @@ def _norm(c):
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def first_n_centroids(
+    emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Deterministic seed quantizer: the first ``n_cells`` vectors by id."""
+    return emb.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c")
+    )
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, v) × centroids(c_id, c) → (id, v, cell): argmax cosine,
+    ties to the lower centroid id."""
+    cents = F.broadcast(
+        centroids.select(F.col("c_id").alias("_c_id"), F.col("c").alias("_c"))
+    )
+    cos_c = _dot(vec_col, "_c") / (_norm(F.col(vec_col)) * _norm(F.col("_c")))
+    w_best = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("_c_id"))
+    return (
+        emb.join(cents, F.lit(True))
+        .withColumn("_cos_c", cos_c)
+        .withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_c_id").alias("_cell"))
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Lloyd's-trained coarse quantizer (VERDICT r02 item 5 — replaces
+    the untrained first-n-by-id centroids that left q46's recall
+    unguaranteed at real scale).
+
+    Deterministic and oracle-replicable: init = first ``n_cells``
+    vectors by id; each of the ``n_iter`` unrolled iterations assigns
+    every vector to its argmax-cosine centroid (ties to the lower cell
+    id) and recomputes each cell's element-wise mean, ROUNDED to 9dp —
+    the rounding re-synchronizes the engine and the DuckDB oracle after
+    each cross-row float aggregation, so both quantizers are
+    bit-identical on the fixture. Cells that lose all members disappear
+    (both sides). Per iteration: one broadcast×N scoring pass + one
+    (cell, dim) hash-agg — the standard distributed k-means step."""
+    cents = first_n_centroids(emb, n_cells, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = assign_cells(emb, cents, id_col, vec_col)
+        cents = (
+            assigned.select(F.col("_cell"), F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("_cell", "d")
+            .agg(F.round(F.avg("x"), 9).alias("av"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("d", "av"))).alias("_s")
+            )
+            .select(
+                F.col("_cell").alias("c_id"),
+                F.transform("_s", lambda s: s["av"]).alias("c"),
+            )
+        )
+    return cents
+
+
+# session-lifetime IVF index cache: (sf_dir, n_cells, n_iter) -> dict
+_IVF_CACHE: dict[tuple, dict] = {}
+
+
+def ivf_index(
+    spark, sf_dir: str, n_cells: int = 8, n_iter: int = 2
+) -> dict:
+    """Trained centroids + PRECOMPUTED cell assignments for the driver
+    embeddings table, cached for the session (the persisted
+    assignment table the r02 ivf_topk docstring promised; at 100 TB
+    both live as Iceberg tables bucketed by cell)."""
+    key = (sf_dir, n_cells, n_iter)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_ivf_centroids(emb, n_cells=n_cells, n_iter=n_iter).cache()
+    assigned = assign_cells(emb, cents).cache()
+    cents.count()
+    assigned.count()
+    idx = {"centroids": cents, "assigned": assigned}
+    _IVF_CACHE[key] = idx
+    return idx
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -37,31 +133,30 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest-neighbor search: assign vectors to their
-    nearest coarse centroid (q19's quantizer), probe only the query's
-    ``n_probe`` closest cells, exact cosine top-k within them.
+    nearest coarse centroid, probe only the query's ``n_probe`` closest
+    cells, exact cosine top-k within them.
 
     The 100 TB shape: the corpus-side scan touches ~n_probe/n_cells of
-    the data (cell assignment is a broadcast×N pass that would be
-    precomputed/bucketed in a real deployment), the query side is a
-    broadcast. Centroids = the first ``n_cells`` vectors by id — the
-    deterministic quantizer both engines can reproduce.
+    the data, the query side is a broadcast. Pass ``centroids`` (e.g.
+    from :func:`train_ivf_centroids`) and ``assigned`` (the precomputed
+    cell-assignment table, :func:`ivf_index`) for the production path;
+    defaults fall back to the deterministic first-n-by-id quantizer with
+    inline assignment.
     """
+    cents_df = (
+        centroids
+        if centroids is not None
+        else first_n_centroids(emb, n_cells, id_col, vec_col)
+    )
     cents = F.broadcast(
-        emb.orderBy(id_col).limit(n_cells).select(
-            F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c")
-        )
+        cents_df.select(F.col("c_id").alias("_c_id"), F.col("c").alias("_c"))
     )
-    cos_c = _dot(vec_col, "_c") / (_norm(F.col(vec_col)) * _norm(F.col("_c")))
-    w_best = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.asc("_c_id"))
-    assigned = (
-        emb.join(cents, F.lit(True))
-        .withColumn("_cos_c", cos_c)
-        .withColumn("_rn", F.row_number().over(w_best))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("_c_id").alias("_cell"))
-    )
+    if assigned is None:
+        assigned = assign_cells(emb, cents_df, id_col, vec_col)
     q = query.select(
         F.col(id_col).alias("_q_id"), F.col(vec_col).alias("_q")
     )
@@ -86,6 +181,47 @@ def ivf_topk(
             F.col("_q_id").alias("q_vec_id"), id_col, "cos_sim", "rank"
         )
     )
+
+
+def ivf_oracle_with(n_cells: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB WITH-clause body replicating :func:`train_ivf_centroids` +
+    the final assignment, unrolled per iteration (recursive CTEs with
+    GROUP BY are not portable). Exposes ``cent`` (c_id, c) and
+    ``assigned`` (vec_id, v, cell). ``dim`` matches the driver
+    embeddings fixture (64); the engine side is dim-agnostic."""
+
+    def assign(src_cent: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT vec_id, v, c_id AS cell FROM (
+            SELECT e.vec_id, e.v, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.v, c.c) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.c, c.c))) DESC,
+                       c.c_id ASC) AS rn
+            FROM e CROSS JOIN {src_cent} c
+        ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent0 AS (
+        SELECT vec_id AS c_id, v AS c FROM e ORDER BY vec_id LIMIT {n_cells}
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(assign(f"cent{i - 1}", f"a{i}"))
+        parts.append(f"""cent{i} AS (
+        SELECT cell AS c_id, list(av ORDER BY d) AS c FROM (
+            SELECT cell, t.d AS d, round(avg(v[t.d]), 9) AS av
+            FROM a{i} CROSS JOIN generate_series(1, {dim}) t(d)
+            GROUP BY cell, t.d
+        ) GROUP BY cell
+    )""")
+    parts.append(f"cent AS (SELECT * FROM cent{n_iter})")
+    parts.append(assign("cent", "assigned"))
+    return ",\n    ".join(parts)
 
 
 def embedding_near_dup(

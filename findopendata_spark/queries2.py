@@ -135,34 +135,29 @@ def q18_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q19_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN partitioning: assign every vector to its nearest of 8
-    centroids (coarse quantizer); per-cell stats. The scale path for
-    similarity search — brute force stays within a cell (q11 is the
-    exact baseline)."""
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "e", F.col("embedding").cast("array<double>")
+    """IVF coarse quantizer, TRAINED (2 unrolled Lloyd's iterations from
+    the first-8-by-id seed — VERDICT r02 item 5); per-cell stats over
+    the precomputed assignment table. The scale path for similarity
+    search — brute force stays within a cell (q11 is the exact
+    baseline). Both the training fold and the assignment are replicated
+    exactly by the DuckDB oracle (9dp-rounded centroid means re-sync the
+    engines after each cross-row aggregation)."""
+    from findopendata_spark.embedding import _dot, _norm, ivf_index
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    idx = ivf_index(spark, sf_dir, n_cells=8, n_iter=2)
+    cents = idx["centroids"].select(
+        F.col("c_id").alias("_cell"), F.col("c").alias("_c")
     )
-    cent = F.broadcast(
-        emb.orderBy("vec_id").limit(8).select(
-            F.col("vec_id").alias("c_id"), F.col("e").alias("c")
+    cos = _dot("v", "_c") / (_norm(F.col("v")) * _norm(F.col("_c")))
+    return (
+        idx["assigned"].join(F.broadcast(cents), "_cell")
+        .select(F.col("_cell").alias("c_id"), cos.alias("cos"))
+        .groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cos"), 4).alias("avg_cos"),
         )
-    )
-    dot = F.aggregate(
-        F.zip_with("e", "c", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(col, F.lit(0.0), lambda s, x: s + x * x)
-    )
-    scored = emb.crossJoin(cent).select(
-        "vec_id", "c_id", (dot / (norm(F.col("e")) * norm(F.col("c")))).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_id"))
-    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
-    return assigned.groupBy("c_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("cos"), 4).alias("avg_cos"),
     )
 
 
@@ -311,27 +306,7 @@ ORACLE_SQL2: dict[str, str | None] = {
     # Same rolling polynomial (base 257 mod 2^31-1 over codepoints) as
     # dedup.rolling_min_fingerprint, unrolled as iterated-mod BIGINT math.
     "q18_winnow_fingerprint": None,  # filled below (generated expression)
-    "q19_ann_ivf": """
-        WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        ), cent AS (
-            SELECT vec_id AS c_id, e AS c FROM e ORDER BY vec_id LIMIT 8
-        ), scored AS (
-            SELECT vec_id, c_id,
-                   list_dot_product(e, c) /
-                   (sqrt(list_dot_product(e, e)) *
-                    sqrt(list_dot_product(c, c))) AS cos
-            FROM e CROSS JOIN cent
-        ), assigned AS (
-            SELECT vec_id, c_id, cos,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY cos DESC, c_id ASC) AS rn
-            FROM scored
-        )
-        SELECT c_id, CAST(count(*) AS BIGINT) AS n_members,
-               round(avg(cos), 4) AS avg_cos
-        FROM assigned WHERE rn = 1 GROUP BY c_id
-    """,
+    "q19_ann_ivf": None,  # filled below (trained-quantizer CTE, shared)
     "q20_media_manifest": """
         SELECT doc_id,
                CASE WHEN source = 'web' THEN 'image'
@@ -377,4 +352,18 @@ ORACLE_SQL2["q18_winnow_fingerprint"] = f"""
                generate_series(1, length(t) - 7),
                i -> {_FP_EXPR})) AS BIGINT) AS fingerprint
     FROM lowered
+"""
+
+# q19 oracle: the trained-quantizer fold (ivf_oracle_with unrolls the
+# same 2 Lloyd's iterations with 9dp-rounded means), then per-cell stats.
+from findopendata_spark.embedding import ivf_oracle_with as _ivf_with  # noqa: E402
+
+ORACLE_SQL2["q19_ann_ivf"] = f"""
+    WITH {_ivf_with()}
+    SELECT a.cell AS c_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(list_dot_product(a.v, c.c) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(c.c, c.c)))), 4) AS avg_cos
+    FROM assigned a JOIN cent c ON a.cell = c.c_id
+    GROUP BY a.cell
 """

@@ -100,18 +100,24 @@ def q45_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q46_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search end-to-end (the scale path q19 only quantizes):
-    probe the query's 2 nearest of 8 cells, exact cosine top-10 within
-    them (``embedding.ivf_topk``). Deterministic: centroids are the
-    first 8 vectors by id, ties broken by (cos desc, id asc), ranking on
+    probe the query's 2 nearest of 8 TRAINED cells (2 Lloyd's
+    iterations, VERDICT r02 item 5), exact cosine top-10 within them —
+    served from the session-cached centroid + precomputed assignment
+    tables (``embedding.ivf_index``), so a probe never rescans or
+    reassigns the corpus. Ties broken by (cos desc, id asc), ranking on
     the 4dp-rounded cosine."""
-    from findopendata_spark.embedding import ivf_topk
+    from findopendata_spark.embedding import ivf_index, ivf_topk
 
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    idx = ivf_index(spark, sf_dir, n_cells=8, n_iter=2)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     query = emb.orderBy("vec_id").limit(1)
-    return ivf_topk(emb, query, k=10, n_cells=8, n_probe=2)
+    return ivf_topk(
+        emb, query, k=10, n_probe=2,
+        centroids=idx["centroids"], assigned=idx["assigned"],
+    )
 
 
 def q47_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,49 +197,7 @@ ORACLE_SQL8: dict[str, str | None] = {
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts
         FROM ranked WHERE rn = 1
     """,
-    "q46_ann_ivf_search": """
-        WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ), cent AS (
-            SELECT vec_id AS c_id, v AS c FROM e ORDER BY vec_id LIMIT 8
-        ), assigned AS (
-            SELECT vec_id, v, c_id AS cell FROM (
-                SELECT e.vec_id, e.v, cent.c_id,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY list_dot_product(e.v, cent.c) /
-                                    (sqrt(list_dot_product(e.v, e.v)) *
-                                     sqrt(list_dot_product(cent.c, cent.c)))
-                                    DESC, cent.c_id ASC) AS rn
-                FROM e CROSS JOIN cent
-            ) WHERE rn = 1
-        ), q AS (
-            SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1
-        ), probe AS (
-            SELECT q_id, qv, c_id AS cell FROM (
-                SELECT q.q_id, q.qv, cent.c_id,
-                       row_number() OVER (
-                           PARTITION BY q.q_id
-                           ORDER BY list_dot_product(q.qv, cent.c) /
-                                    (sqrt(list_dot_product(q.qv, q.qv)) *
-                                     sqrt(list_dot_product(cent.c, cent.c)))
-                                    DESC, cent.c_id ASC) AS rn
-                FROM q CROSS JOIN cent
-            ) WHERE rn <= 2
-        )
-        SELECT q_id AS q_vec_id, vec_id, cos_sim,
-               CAST(row_number() OVER (
-                   ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
-        FROM (
-            SELECT p.q_id, a.vec_id,
-                   round(list_dot_product(a.v, p.qv) /
-                         (sqrt(list_dot_product(a.v, a.v)) *
-                          sqrt(list_dot_product(p.qv, p.qv))), 4) AS cos_sim
-            FROM assigned a JOIN probe p ON a.cell = p.cell
-            WHERE a.vec_id <> p.q_id
-        )
-        QUALIFY rank <= 10
-    """,
+    "q46_ann_ivf_search": None,  # filled below (trained-quantizer CTE)
     "q47_cube_revenue": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -250,3 +214,37 @@ ORACLE_SQL8: dict[str, str | None] = {
         FROM documents GROUP BY lang
     """,
 }
+
+# q46 oracle: trained quantizer (shared CTE) + probe 2 cells + exact
+# top-10 — identical math to ivf_topk over the ivf_index tables.
+from findopendata_spark.embedding import ivf_oracle_with as _ivf_with  # noqa: E402
+
+ORACLE_SQL8["q46_ann_ivf_search"] = f"""
+    WITH {_ivf_with()},
+    q AS (
+        SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1
+    ), probe AS (
+        SELECT q_id, qv, c_id AS cell FROM (
+            SELECT q.q_id, q.qv, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, c.c) /
+                                (sqrt(list_dot_product(q.qv, q.qv)) *
+                                 sqrt(list_dot_product(c.c, c.c)))
+                                DESC, c.c_id ASC) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= 2
+    )
+    SELECT q_id AS q_vec_id, vec_id, cos_sim,
+           CAST(row_number() OVER (
+               ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+    FROM (
+        SELECT p.q_id, a.vec_id,
+               round(list_dot_product(a.v, p.qv) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(p.qv, p.qv))), 4) AS cos_sim
+        FROM assigned a JOIN probe p ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id
+    )
+    QUALIFY rank <= 10
+"""

@@ -63,6 +63,8 @@ class GraphConfig:
     private_pct: int = 5        # % of links into /private/ (robots-blocked)
     n_text_spans: int = 4       # prose spans per doc
     media_pct: int = 40         # % of docs carrying a media span
+    fail_ppt: int = 0           # per-attempt fetch failure rate (parts/1000)
+    max_retries: int = 3        # bounded retry before a permanent failure
     seed: int = 42
 
     @property
@@ -162,6 +164,24 @@ def bulk_seed_frontier(spark, cfg: GraphConfig, n: int):
         F.lit(1.0).alias("priority"),
         F.lit(0).alias("discovered_wave"),
     ).dropDuplicates(["url_canon"])
+
+
+def fetch_failure_mask(h: np.ndarray, cfg: GraphConfig) -> np.ndarray:
+    """Deterministic per-URL permanent-failure mask under bounded retry.
+
+    Attempt ``a`` of page ``h`` fails iff ``mix(h, 0xFA11+a) % 1000 <
+    fail_ppt`` — an independent coin per attempt, pure function of the
+    URL. A URL fails permanently iff all ``max_retries`` attempts fail
+    (the reference retries 3x with a sleep and then swallows-and-logs:
+    ``findopendata/ckan/__init__.py:24-31``, ``ckan_crawler.py:186-202``).
+    Same URL → same outcome on any executor and any re-run, so resume
+    stays exact."""
+    if cfg.fail_ppt <= 0:
+        return np.zeros(len(h), dtype=bool)
+    failed = np.ones(len(h), dtype=bool)
+    for a in range(max(cfg.max_retries, 1)):
+        failed &= (mix(h, 0xFA11 + a) % np.uint64(1000)) < np.uint64(cfg.fail_ppt)
+    return failed
 
 
 # ---------------------------------------------------------------------------

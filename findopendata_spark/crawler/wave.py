@@ -113,23 +113,53 @@ def _is_blocked_expr():
 
 def _make_fetch_fn(gcfg: G.GraphConfig):
     def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Synthetic fetch of one (host, salt) group — numpy only."""
+        """Synthetic fetch of one (host, salt) group — numpy only.
+
+        Permanent fetch failures (deterministic bounded-retry model,
+        :func:`G.fetch_failure_mask`) emit ONE ``kind='fail'`` marker row
+        instead of spans; run_wave routes those to lineage accounting
+        (the reference swallows-and-logs, ``ckan_crawler.py:186-202``)."""
         h = pdf["url_hash"].to_numpy(np.int64, na_value=0).view(np.uint64)
+        failed = G.fetch_failure_mask(h, gcfg)
+        ok = np.nonzero(~failed)[0]
         doc_idx, kind, text, media_ref, offset = G.synth_fetch_pandas(
-            pd.Series(h), pdf["depth"], gcfg
+            pd.Series(h[ok]), pdf["depth"].iloc[ok], gcfg
         )
-        return pd.DataFrame(
+        orig = ok[doc_idx]
+        doc_ids = ("doc-" + pd.Series(h).astype(str)).to_numpy()
+        out = pd.DataFrame(
             {
-                "url_canon": pdf["url_canon"].to_numpy()[doc_idx],
-                "host": pdf["host"].to_numpy()[doc_idx],
-                "depth": pdf["depth"].to_numpy()[doc_idx],
-                "doc_id": ("doc-" + pd.Series(h).astype(str)).to_numpy()[doc_idx],
+                "url_canon": pdf["url_canon"].to_numpy()[orig],
+                "host": pdf["host"].to_numpy()[orig],
+                "depth": pdf["depth"].to_numpy()[orig],
+                "doc_id": doc_ids[orig],
                 "kind": kind,
                 "text": text,
                 "media_ref": media_ref,
                 "offset": offset,
             }
         )
+        if failed.any():
+            fi = np.nonzero(failed)[0]
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "url_canon": pdf["url_canon"].to_numpy()[fi],
+                            "host": pdf["host"].to_numpy()[fi],
+                            "depth": pdf["depth"].to_numpy()[fi],
+                            "doc_id": doc_ids[fi],
+                            "kind": "fail",
+                            "text": None,
+                            "media_ref": None,
+                            "offset": np.zeros(len(fi), dtype=np.int32),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
 
     return fetch
 
@@ -274,6 +304,12 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         )
         spans = spans.localCheckpoint()  # reused: docs build + links + lineage
         _mark("fetch_ckpt")
+        # permanent fetch failures carry kind='fail' marker rows: they feed
+        # lineage accounting only — never the docs table or link extraction
+        failed_fetches = spans.filter(F.col("kind") == "fail").select(
+            "url_canon", "host"
+        )
+        spans = spans.filter(F.col("kind") != "fail")
 
         # 4. docs table (interleaved input_hint shape), JVM-side assembly
         docs = (
@@ -390,12 +426,14 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         lineage = (
             tagged(f.filter(F.col("_elig")), "e")
             .unionByName(tagged(selected, "f"))
+            .unionByName(tagged(failed_fetches, "x"))
             .unionByName(tagged(cand, "c"))
             .unionByName(tagged(new, "n"))
             .groupBy("host_shard")
             .agg(
                 F.sum(F.when(F.col("_t") == "e", 1).otherwise(0)).alias("urls_eligible"),
                 F.sum(F.when(F.col("_t") == "f", 1).otherwise(0)).alias("urls_fetched"),
+                F.sum(F.when(F.col("_t") == "x", 1).otherwise(0)).alias("urls_failed"),
                 F.sum(F.when(F.col("_t") == "c", 1).otherwise(0)).alias("urls_candidates"),
                 F.sum(F.when(F.col("_t") == "n", 1).otherwise(0)).alias("urls_enqueued"),
             )

@@ -375,3 +375,43 @@ def test_paginate_global_rank_is_distributed(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_fetch_failure_accounting_and_resume(spark, tmp_path):
+    """VERDICT r03 item 7: with a nonzero deterministic failure rate,
+    permanently-failed fetches (a) appear in lineage as urls_failed,
+    (b) never reach the docs table, (c) conserve exactly
+    (fetched == distinct docs + failed per wave), and (d) resume stays
+    exact because the failure mask is a pure function of the URL."""
+    gcfg = G.GraphConfig(graph_size=500, fail_ppt=400, max_retries=2)
+    # fail_ppt=400, 2 attempts -> permanent failure prob 0.16/url
+    d = str(tmp_path / "crawl_fail")
+    st = crawl(spark, d, waves=3, cfg=CCFG, gcfg=gcfg)
+    lin = st.cat.read_appended(spark, "lineage")
+    tot = lin.agg(
+        F.sum("urls_fetched").alias("f"), F.sum("urls_failed").alias("x")
+    ).collect()[0]
+    assert tot["x"] > 0, "no failures with fail_ppt=400"
+    # per-wave conservation: attempts == ok docs + failures
+    docs = st.cat.read_appended(spark, "docs")
+    per_wave_docs = {
+        r["wave"]: r["n"]
+        for r in docs.groupBy("wave").agg(
+            F.countDistinct("url_canon").alias("n")
+        ).collect()
+    }
+    for r in lin.groupBy("wave").agg(
+        F.sum("urls_fetched").alias("f"), F.sum("urls_failed").alias("x")
+    ).collect():
+        assert r["f"] == per_wave_docs.get(r["wave"], 0) + r["x"], r
+    # failed URLs never produce doc rows
+    assert docs.filter(F.col("spans").isNull()).count() == 0
+    # resume exactness with failures enabled
+    d2 = str(tmp_path / "crawl_fail_resume")
+    crawl(spark, d2, waves=2, cfg=CCFG, gcfg=gcfg)
+    st2 = crawl(spark, d2, waves=3, cfg=CCFG, gcfg=gcfg)
+    a, b = st.cat.read_appended(spark, "seen"), st2.cat.read_appended(spark, "seen")
+    assert a.count() == b.count()
+    assert a.join(b, "url_canon", "left_anti").count() == 0
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)

@@ -56,6 +56,11 @@ class CrawlConfig:
     bloom_num_hashes: int = 7
     bloom_shards: int = 16              # per-shard bitsets (10^10: ~1024)
     seen_filter: str = "bloom"          # "bloom" | "cuckoo" prefilter
+    # probe mode: "broadcast" ships the whole shard dict to every executor
+    # (cheapest below ~100M keys — zero shuffle); "sharded" repartitions
+    # probe rows by shard id and ships each task exactly ONE shard via a
+    # cogroup (the 10^10 path: per-task filter bytes stay ~total/S)
+    seen_probe: str = "broadcast"
 
 
 @dataclass(frozen=True)

@@ -115,7 +115,14 @@ class ShardedSeenFilter:
             )
 
     # -- probe ----------------------------------------------------------------
-    def with_maybe_seen(self, spark, df, hash_col: str = "url_hash"):
+    def with_maybe_seen(
+        self, spark, df, hash_col: str = "url_hash", mode: str = "broadcast",
+        debug_bytes: bool = False,
+    ):
+        if mode == "sharded":
+            return self._with_maybe_seen_sharded(
+                spark, df, hash_col, debug_bytes=debug_bytes
+            )
         bc = spark.sparkContext.broadcast(self.shards)
         if self.kind == "cuckoo":
             return _with_maybe_seen_cuckoo(
@@ -124,6 +131,74 @@ class ShardedSeenFilter:
         return with_maybe_seen_shards(
             df, bc, self.m_bits_shard, self.k, self.n_shards, hash_col
         )
+
+    def _with_maybe_seen_sharded(
+        self, spark, df, hash_col: str = "url_hash", debug_bytes: bool = False
+    ):
+        """Per-executor shard residency (VERDICT r02 item 6): probe rows
+        repartition by shard id and COGROUP with a shards DataFrame, so
+        each task deserializes exactly ONE shard's bytes — the probe
+        shuffle carries only (row, shard_id), never the filter.
+
+        At 10^10 keys the broadcast mode ships every shard (~12.5 GB
+        total at 10 bits/key) to every executor per probe; this mode
+        caps per-task filter bytes at total/S. (Here the shards table is
+        built from the driver dict; at real scale it is the persisted
+        seen-filter table read straight from the catalog, and the same
+        cogroup applies.) ``debug_bytes`` appends a ``_probe_bytes``
+        column recording the filter bytes each task deserialized —
+        test instrumentation."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        from findopendata_spark.crawler.bloom import _positions
+
+        kind = self.kind
+        m_bits, k = self.m_bits_shard, self.k
+        n_buckets, n_shards = self.n_buckets_shard, self.n_shards
+        shards_df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in self.shards.items()],
+            "shard_id int, bits binary",
+        )
+        rows = df.withColumn(
+            "_sid", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+        )
+        fields = list(rows.schema.fields) + [
+            StructField("maybe_seen", BooleanType())
+        ]
+        if debug_bytes:
+            fields.append(StructField("_probe_bytes", IntegerType()))
+        out_schema = StructType(fields)
+
+        def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            bits = bytes(right["bits"].iloc[0]) if len(right) else b""
+            out = left.copy()
+            h = left[hash_col].to_numpy(np.int64)
+            if kind == "cuckoo":
+                cf = CK.CuckooFilter.from_bytes(bits, n_buckets)
+                ms = cf.contains_batch(h)
+            else:
+                barr = np.frombuffer(bits, dtype=np.uint8)
+                pos = _positions(h.view(np.uint64), m_bits, k)
+                ms = ((barr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(
+                    axis=1
+                )
+            out["maybe_seen"] = np.asarray(ms, dtype=bool)
+            if debug_bytes:
+                out["_probe_bytes"] = np.int32(len(bits))
+            return out
+
+        probed = (
+            rows.groupBy("_sid")
+            .cogroup(shards_df.groupBy("shard_id"))
+            .applyInPandas(fn, out_schema)
+        )
+        return probed.drop("_sid")
 
 
 # ---------------------------------------------------------------------------

@@ -394,7 +394,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
         _mark("plan_build")
         seen_filter = _get_seen_filter(spark, state, seen)
-        cand = seen_filter.with_maybe_seen(spark, cand)
+        cand = seen_filter.with_maybe_seen(spark, cand, mode=cfg.seen_probe)
         cand = cand.localCheckpoint()  # probe runs once; both branches reuse
         _mark("cand_ckpt")
         definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -415,3 +415,67 @@ def test_fetch_failure_accounting_and_resume(spark, tmp_path):
     assert a.join(b, "url_canon", "left_anti").count() == 0
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_sharded_probe_parity_and_residency(spark):
+    """VERDICT r03 item 6: the cogroup probe must (a) agree exactly with
+    the broadcast probe for both filter kinds, and (b) hand each task at
+    most ONE shard's bytes (per-task filter residency)."""
+    from findopendata_spark.crawler.seen import ShardedSeenFilter
+
+    n = 4000
+    seen_df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias(
+                "url_canon"
+            )
+        )
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+    )
+    probe_df = (
+        spark.range(3 * n)
+        .select(
+            F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias(
+                "url_canon"
+            )
+        )
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+    )
+    for kind in ("bloom", "cuckoo"):
+        cfg = CrawlConfig(seen_filter=kind, bloom_shards=8)
+        filt = ShardedSeenFilter.build(seen_df, n * 4, cfg)
+        a = {
+            r["url_canon"]: r["maybe_seen"]
+            for r in filt.with_maybe_seen(spark, probe_df).collect()
+        }
+        sharded = filt.with_maybe_seen(
+            spark, probe_df, mode="sharded", debug_bytes=True
+        )
+        rows = sharded.collect()
+        b = {r["url_canon"]: r["maybe_seen"] for r in rows}
+        assert a == b, f"{kind}: sharded probe diverges from broadcast"
+        # every inserted key must still be maybe_seen (no false negatives)
+        inserted = {r["url_canon"] for r in seen_df.collect()}
+        assert all(b[u] for u in inserted), kind
+        # residency: each task saw exactly one shard's bytes
+        shard_bytes = {len(v) for v in filt.shards.values()}
+        assert {r["_probe_bytes"] for r in rows} <= shard_bytes, kind
+
+
+def test_wave_parity_sharded_probe_mode(spark, crawl_state, tmp_path):
+    """A crawl run with seen_probe='sharded' must produce the identical
+    seen set and frontier as the default broadcast-probe run."""
+    d = str(tmp_path / "crawl_sharded")
+    cfg = CrawlConfig(per_host_wave_budget=10, seen_probe="sharded")
+    st = crawl(spark, d, waves=WAVES, cfg=cfg, gcfg=GCFG)
+    for table in ("seen",):
+        a = crawl_state.cat.read_appended(spark, table)
+        b = st.cat.read_appended(spark, table)
+        assert a.count() == b.count()
+        assert a.join(b, "url_canon", "left_anti").count() == 0
+    fa = crawl_state.cat.read(spark, "frontier")
+    fb = st.cat.read(spark, "frontier")
+    assert fa.count() == fb.count()
+    assert fa.join(fb, "url_canon", "left_anti").count() == 0
+    shutil.rmtree(d, ignore_errors=True)

@@ -58,11 +58,18 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
-def bench_crawl(cores: int) -> dict:
+def bench_crawl(
+    cores: int, bulk_seeds: int = 700_000, budget: int = 30_000
+) -> dict:
     """Fixed synthetic frontier (seed 42), W waves; returns throughput.
 
     Run in a FRESH process per parallelism level (see main): JVM options
-    (GC) and local[N] sizing only apply at JVM launch."""
+    (GC) and local[N] sizing only apply at JVM launch.
+
+    ``bulk_seeds``/``budget`` scale the wave: the default (700k/30k) is
+    the r01/r02-comparable protocol; the large-wave datapoint (4x work:
+    2.8M seeds, 120k budget) evidences that the fixed per-wave
+    orchestration cost F amortizes with wave size — the 10^10 shape."""
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -90,7 +97,7 @@ def bench_crawl(cores: int) -> dict:
             "spark.local.dir": os.path.join(shm, "spark-local"),
         },
     )
-    cfg = CrawlConfig(per_host_wave_budget=30_000, hot_host_salt=32)
+    cfg = CrawlConfig(per_host_wave_budget=budget, hot_host_salt=32)
     gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)
     # warmup: a miniature crawl with identical query shapes, so JIT/
     # whole-stage-codegen compilation (cold-JVM cost, core-count
@@ -105,7 +112,8 @@ def bench_crawl(cores: int) -> dict:
     d = tempfile.mkdtemp(prefix=f"bench-crawl-{cores}-", dir=shm)
     try:
         t0 = time.time()
-        state = crawl(spark, d, waves=1, cfg=cfg, gcfg=gcfg, bulk_seeds=700_000)
+        state = crawl(spark, d, waves=1, cfg=cfg, gcfg=gcfg,
+                      bulk_seeds=bulk_seeds)
         wall = time.time() - t0
         lin = state.cat.read_appended(spark, "lineage")
         agg = lin.agg(
@@ -224,13 +232,14 @@ def bench_control(cores: int) -> dict:
         spark.stop()
 
 
-def _subprocess_bench(fn_name: str, cores: int) -> dict:
-    """Run bench_<fn>(cores) in a fresh python/JVM process."""
+def _subprocess_bench(fn_name: str, cores: int, **kwargs) -> dict:
+    """Run bench_<fn>(cores, **kwargs) in a fresh python/JVM process."""
     import subprocess
 
+    kw = "".join(f", {k}={v!r}" for k, v in kwargs.items())
     code = (
-        "import json, bench; print('BENCHJSON:'+json.dumps(bench.%s(%d)))"
-        % (fn_name, cores)
+        "import json, bench; print('BENCHJSON:'+json.dumps(bench.%s(%d%s)))"
+        % (fn_name, cores, kw)
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -248,15 +257,15 @@ def _subprocess_bench(fn_name: str, cores: int) -> dict:
 
 
 def _best_of_interleaved(
-    fn_name: str, lo_cores: int, hi_cores: int, runs: int
+    fn_name: str, lo_cores: int, hi_cores: int, runs: int, **kwargs
 ) -> tuple[dict, dict, list[float], list[float]]:
     """Run lo,hi,lo,hi,... so a multi-minute interference episode on this
     shared host degrades BOTH legs instead of silently skewing the
     efficiency ratio one way; best-of per leg."""
     lo_runs, hi_runs = [], []
     for _ in range(runs):
-        lo_runs.append(_subprocess_bench(fn_name, lo_cores))
-        hi_runs.append(_subprocess_bench(fn_name, hi_cores))
+        lo_runs.append(_subprocess_bench(fn_name, lo_cores, **kwargs))
+        hi_runs.append(_subprocess_bench(fn_name, hi_cores, **kwargs))
     key = lambda r: r["throughput_urls_per_s"]  # noqa: E731
     return (
         max(lo_runs, key=key),
@@ -319,12 +328,51 @@ def main() -> None:
                 "control_efficiency": round(ceff, 3),
             }
             crawl["efficiency_vs_control"] = round(eff / ceff, 3)
+        if os.environ.get("SPARK_GRAFT_BENCH_LARGE", "1") != "0":
+            # Large-wave datapoint (VERDICT r02 item 1b): 4x the wave work
+            # (2.8M seeds, 120k politeness budget), ONE run per level,
+            # interleaved. Evidences that the fixed per-wave cost F
+            # amortizes with wave size — at the 10^10-URL target a wave
+            # is ~10^4x larger still, so F -> noise by construction.
+            seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
+            llo, lhi, llo_all, lhi_all = _best_of_interleaved(
+                "bench_crawl", N_LO, N_HI, 1,
+                bulk_seeds=seeds, budget=120_000,
+            )
+            leff = lhi["throughput_urls_per_s"] / (
+                ratio * llo["throughput_urls_per_s"]
+            )
+            crawl["large_wave"] = {
+                "bulk_seeds": seeds,
+                "budget": 120_000,
+                "n_lo": llo,
+                "n_hi": lhi,
+                "scaling_efficiency": round(leff, 3),
+            }
+            if "control" in crawl:
+                crawl["large_wave"]["efficiency_vs_control"] = round(
+                    leff / crawl["control"]["control_efficiency"], 3
+                )
         result["crawl"] = crawl
     spark = _new_spark(CPUS)
     queries = bench_queries(spark)
     result["value"] = round(sum(queries.values()), 3)
     result["unit"] = "sec"
     result["queries"] = queries
+    if os.environ.get("SPARK_GRAFT_BENCH_SF2", "1") != "0":
+        # Second scale point for the query suite (VERDICT r02 item 10):
+        # same queries at sf2 (default sf0.01, 10x smaller) — per-query
+        # scaling evidence for the "plans survive 100x" claim.
+        global SF_DIR
+        sf2 = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+        main_sf, SF_DIR = SF_DIR, sf2
+        try:
+            q2 = bench_queries(spark)
+        finally:
+            SF_DIR = main_sf
+        result["sf2"] = sf2.rstrip("/").rsplit("sf", 1)[-1]
+        result["queries_sf2"] = q2
+        result["value_sf2"] = round(sum(q2.values()), 3)
     print(json.dumps(result))
 
 

@@ -166,6 +166,22 @@ def bulk_seed_frontier(spark, cfg: GraphConfig, n: int):
     ).dropDuplicates(["url_canon"])
 
 
+def page_has_media(h: np.ndarray, cfg: GraphConfig) -> np.ndarray:
+    """Deterministic media-span coin per page (shared by the span
+    generator and the richness scorer — one derivation, no drift)."""
+    return (mix(h, 0xBEEF) % np.uint64(100)) < np.uint64(cfg.media_pct)
+
+
+def page_richness(h: np.ndarray, cfg: GraphConfig) -> np.ndarray:
+    """Metadata richness of a page: text spans + 2x media spans — the
+    quantity run_wave's 'richness' priority mode scores children by.
+    Computed directly from the page hash so the fetch UDF can attach it
+    to link rows (no per-doc aggregation or join downstream)."""
+    return (
+        cfg.n_text_spans + 2 * page_has_media(h, cfg).astype(np.int64)
+    ).astype(np.float64)
+
+
 def fetch_failure_mask(h: np.ndarray, cfg: GraphConfig) -> np.ndarray:
     """Deterministic per-URL permanent-failure mask under bounded retry.
 
@@ -207,7 +223,7 @@ def synth_fetch_pandas(url_hash: pd.Series, depth: pd.Series, cfg: GraphConfig):
     n_links = (
         cfg.out_links_min + (r_links % np.uint64(cfg.out_links_max - cfg.out_links_min + 1))
     ).astype(np.int64)
-    has_media = (mix(h, 0xBEEF) % np.uint64(100)) < np.uint64(cfg.media_pct)
+    has_media = page_has_media(h, cfg)
     n_text = np.full(n, cfg.n_text_spans, dtype=np.int64)
     n_spans = n_text + has_media.astype(np.int64) + n_links
 

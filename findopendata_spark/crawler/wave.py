@@ -47,7 +47,7 @@ from findopendata_spark.functions.urls import canonicalize_url, url_host
 
 FETCH_OUT_SCHEMA = (
     "url_canon string, host string, depth int, doc_id string, "
-    "kind string, text string, media_ref string, offset int"
+    "kind string, text string, media_ref string, offset int, rich double"
 )
 
 
@@ -127,6 +127,9 @@ def _make_fetch_fn(gcfg: G.GraphConfig):
         )
         orig = ok[doc_idx]
         doc_ids = ("doc-" + pd.Series(h).astype(str)).to_numpy()
+        # parent-page richness rides along on every span row: the child
+        # scorer reads it off link rows directly — no per-doc agg/join
+        rich = G.page_richness(h, gcfg)
         out = pd.DataFrame(
             {
                 "url_canon": pdf["url_canon"].to_numpy()[orig],
@@ -137,6 +140,7 @@ def _make_fetch_fn(gcfg: G.GraphConfig):
                 "text": text,
                 "media_ref": media_ref,
                 "offset": offset,
+                "rich": rich[orig],
             }
         )
         if failed.any():
@@ -154,6 +158,7 @@ def _make_fetch_fn(gcfg: G.GraphConfig):
                             "text": None,
                             "media_ref": None,
                             "offset": np.zeros(len(fi), dtype=np.int32),
+                            "rich": np.zeros(len(fi), dtype=np.float64),
                         }
                     ),
                 ],
@@ -341,9 +346,9 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         links = (
             spans.filter(F.col("kind") == "link")
             .select(
-                F.col("url_canon").alias("parent_url"),
                 canonicalize_url(F.col("text")).alias("url_canon"),
                 (F.col("depth") + 1).alias("depth"),
+                "rich",  # parent richness, attached by the fetch UDF
             )
             .withColumn("host", url_host(F.col("url_canon")))
         )
@@ -360,24 +365,18 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # metadata richness (text + 2x media span counts, the analog of the
         # reference preferring packages with fuller metadata), damped by
         # depth; 'bfs' is pure 1/(depth+1) (visit-ordering parity mode).
+        # 'richness' scores a child by its best parent's metadata richness
+        # (text + 2x media span counts), damped by depth. The parent score
+        # rides on each link row straight from the fetch UDF, so the whole
+        # scoring collapses into the ONE candidate groupBy — r02's plan
+        # spent an extra 36M-row per-doc aggregation plus a 6M-row join
+        # on the critical path for the same quantity.
         if cfg.priority_mode == "richness":
-            richness = (
-                spans.groupBy(F.col("url_canon").alias("_parent"))
-                .agg(
-                    (
-                        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
-                        + 2 * F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
-                    ).cast("double").alias("_rich")
-                )
-            )
-            links_scored = allowed.join(
-                richness, allowed["parent_url"] == richness["_parent"], "left"
-            ).drop("_parent")
             cand = (
-                links_scored.groupBy("url_canon", "host")
+                allowed.groupBy("url_canon", "host")
                 .agg(
                     F.min("depth").alias("depth"),
-                    F.max(F.coalesce("_rich", F.lit(0.0))).alias("_rich"),
+                    F.max(F.coalesce("rich", F.lit(0.0))).alias("_rich"),
                 )
                 .withColumn("priority", F.col("_rich") / (F.col("depth") + 1))
                 .drop("_rich")

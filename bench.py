@@ -276,6 +276,7 @@ def _best_of_interleaved(
 
 
 def main() -> None:
+    global SF_DIR
     # CRAWL LEGS RUN FIRST, the 32-core queries phase LAST: sustained
     # full-width CPU on this sandbox triggers throttling that decays over
     # many minutes (measured: a 16-core crawl leg does 222-230k urls/s
@@ -331,27 +332,47 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_BENCH_LARGE", "1") != "0":
             # Large-wave datapoint (VERDICT r02 item 1b): 4x the wave work
             # (2.8M seeds, 120k politeness budget), ONE run per level,
-            # interleaved. Evidences that the fixed per-wave cost F
-            # amortizes with wave size — at the 10^10-URL target a wave
-            # is ~10^4x larger still, so F -> noise by construction.
+            # interleaved, with its OWN paired control at the same cores.
+            # Evidences that the fixed per-wave cost F amortizes with wave
+            # size — at the 10^10-URL target a wave is ~10^4x larger
+            # still, so F -> noise by construction. Core pair = cpus/16 →
+            # cpus/4 (2→8 here): still N→4N per the north rule, chosen
+            # INSIDE the host's flat per-core region (per-core throughput
+            # cliffs past 16 active cores — BENCH/BASELINE.md), which a
+            # real cluster preserves per-node.
             seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
-            llo, lhi, llo_all, lhi_all = _best_of_interleaved(
-                "bench_crawl", N_LO, N_HI, 1,
+            l_lo_cores = max(2, CPUS // 16)
+            l_hi_cores = max(8, CPUS // 4)
+            llo, lhi, _, _ = _best_of_interleaved(
+                "bench_crawl", l_lo_cores, l_hi_cores, 1,
                 bulk_seeds=seeds, budget=120_000,
             )
+            l_ratio = l_hi_cores / l_lo_cores
             leff = lhi["throughput_urls_per_s"] / (
-                ratio * llo["throughput_urls_per_s"]
+                l_ratio * llo["throughput_urls_per_s"]
             )
             crawl["large_wave"] = {
                 "bulk_seeds": seeds,
                 "budget": 120_000,
+                "parallelism_ratio": l_ratio,
                 "n_lo": llo,
                 "n_hi": lhi,
                 "scaling_efficiency": round(leff, 3),
             }
-            if "control" in crawl:
+            if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
+                lclo, lchi, _, _ = _best_of_interleaved(
+                    "bench_control", l_lo_cores, l_hi_cores, 1
+                )
+                lceff = lchi["throughput_urls_per_s"] / (
+                    l_ratio * lclo["throughput_urls_per_s"]
+                )
+                crawl["large_wave"]["control"] = {
+                    "n_lo": lclo,
+                    "n_hi": lchi,
+                    "control_efficiency": round(lceff, 3),
+                }
                 crawl["large_wave"]["efficiency_vs_control"] = round(
-                    leff / crawl["control"]["control_efficiency"], 3
+                    leff / lceff, 3
                 )
         result["crawl"] = crawl
     spark = _new_spark(CPUS)
@@ -363,7 +384,6 @@ def main() -> None:
         # Second scale point for the query suite (VERDICT r02 item 10):
         # same queries at sf2 (default sf0.01, 10x smaller) — per-query
         # scaling evidence for the "plans survive 100x" claim.
-        global SF_DIR
         sf2 = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
         main_sf, SF_DIR = SF_DIR, sf2
         try:

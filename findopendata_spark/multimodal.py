@@ -123,3 +123,118 @@ def media_features(
         .select(id_col, kind_col, payload_col)
         .mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
     )
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    nframes_col: str = "n_frames",
+    id_col: str = "doc_id",
+    k: int = 8,
+    buckets: int = 64,
+) -> DataFrame:
+    """Evenly-spaced frame sampling over opaque video payloads: one row
+    per sampled frame, ``frame_idx = floor(j * n_frames / k)`` for
+    j = 0..k-1, deduplicated (so a clip shorter than ``k`` yields every
+    frame once).
+
+    The frame DECODE is stubbed (no video lib in this container): the
+    per-frame payload is represented by ``md5(payload || ':' || idx)`` —
+    deterministic, so the DuckDB oracle replicates it exactly; a real
+    extractor (pyav/decord) replaces only the digest line, the Spark
+    plumbing (bucketed repartition, vectorized index generation, Arrow
+    batches) is the production shape.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(k, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            nf = np.maximum(pdf[nframes_col].to_numpy(np.int64), 1)
+            idx = (j[None, :] * nf[:, None]) // k          # (n, k), nondecr.
+            keep = np.ones_like(idx, dtype=bool)
+            keep[:, 1:] = idx[:, 1:] != idx[:, :-1]        # dedupe per row
+            rows, cols = np.nonzero(keep)
+            sel = idx[rows, cols].astype(np.int32)
+            ids = pdf[id_col].to_numpy()[rows]
+            payloads = pdf[payload_col].to_numpy()[rows]
+            digests = [
+                hashlib.md5(
+                    (bytes(p) if p is not None else b"")
+                    + b":" + str(int(i)).encode()
+                ).hexdigest()
+                for p, i in zip(payloads, sel)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": sel, "frame_digest": digests}
+            )
+
+    return (
+        df.repartition(buckets, F.pmod(F.xxhash64(id_col), F.lit(buckets)))
+        .select(id_col, nframes_col, payload_col)
+        .mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+    )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, payload binary, resizer string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Image resize stage: with PIL present each payload re-encodes at
+    ``target``; without it the payload passes through unchanged with
+    ``resizer='stub-passthrough'`` and width/height = target (documented
+    stub — the Spark plumbing is real either way; corrupt payloads fall
+    back per-row instead of failing the task)."""
+    tw, th = target
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            import PIL.Image as Image  # pragma: no cover - PIL absent here
+
+            def one(p: bytes) -> tuple[bytes, str]:
+                try:
+                    img = Image.open(io.BytesIO(p)).resize((tw, th))
+                    buf = io.BytesIO()
+                    img.save(buf, format=img.format or "PNG")
+                    return buf.getvalue(), "pil"
+                except Exception:  # noqa: BLE001 - corrupt payload
+                    return p, "stub-corrupt-passthrough"
+        except ImportError:
+            def one(p: bytes) -> tuple[bytes, str]:
+                return p, "stub-passthrough"
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = [one(bytes(p) if p is not None else b"")
+                    for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "width": np.full(len(pdf), tw, dtype=np.int32),
+                    "height": np.full(len(pdf), th, dtype=np.int32),
+                    "payload": [o[0] for o in outs],
+                    "resizer": [o[1] for o in outs],
+                }
+            )
+
+    return (
+        df.repartition(buckets, F.pmod(F.xxhash64(id_col), F.lit(buckets)))
+        .select(id_col, payload_col)
+        .mapInPandas(fn, RESIZE_SCHEMA)
+    )

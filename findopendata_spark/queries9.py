@@ -35,8 +35,28 @@ def q49_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4)
 
 
+def q50_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (training-data op): synthesize a video
+    manifest from documents (payload = encoded text, n_frames = doc_id %
+    240 + 1), sample 8 evenly-spaced frames per clip via the bucketed
+    ``mapInPandas`` sampler (``multimodal.sample_frames``). The stubbed
+    per-frame digest (md5(payload || ':' || idx)) is deterministic, so
+    the DuckDB oracle replicates the whole operator."""
+    from findopendata_spark.multimodal import sample_frames
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    docs = load(spark, sf_dir, "documents")
+    clips = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("doc_id") % 240 + 1).cast("long").alias("n_frames"),
+    )
+    return sample_frames(clips, k=8, buckets=32)
+
+
 QUERIES9 = {
     "q49_simhash_near_dup": q49_simhash_near_dup,
+    "q50_frame_sample": q50_frame_sample,
 }
 
 # Shared with q23's oracle: md5-derived 60-bit token hash, sign-of-sum
@@ -74,5 +94,21 @@ ORACLE_SQL9: dict[str, str | None] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "q50_frame_sample": """
+        WITH v AS (
+            SELECT doc_id, text,
+                   CAST(doc_id % 240 + 1 AS BIGINT) AS n_frames
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, text,
+                   unnest(list_distinct(list_transform(
+                       generate_series(0, 7),
+                       j -> CAST((j * n_frames) // 8 AS INT)))) AS frame_idx
+            FROM v
+        )
+        SELECT doc_id, frame_idx,
+               md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+        FROM idx
     """,
 }

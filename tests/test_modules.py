@@ -542,3 +542,101 @@ def test_trained_ivf_recall_not_worse_than_seed(spark):
     assert assigned.count() == 400
     cells = {r["_cell"] for r in assigned.select("_cell").distinct().collect()}
     assert 1 <= len(cells) <= 8
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer (SURVEY §2.8): the availableNow
+    run's final per-user update must equal the batch q21 sessionize, and
+    a SECOND availableNow run over appended data must continue from the
+    checkpointed state (counts grow, never reset)."""
+    import __spark_entry__ as E
+
+    from findopendata_spark.streaming.stateful import (
+        read_session_totals,
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "events_out")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    ck = str(tmp_path / "ck")
+    sessionize_stream(spark, src, ck, out)
+    got1 = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in read_session_totals(spark, out).collect()
+    }
+    n_first = {
+        r["user_id"]: r["n"]
+        for r in first.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {u: v[1] for u, v in got1.items()} == n_first
+
+    # append the rest; resumed query continues from the state store
+    second.write.mode("append").parquet(src)
+    sessionize_stream(spark, src, ck, out)
+    got2 = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in read_session_totals(spark, out).collect()
+    }
+    total_events = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in E.queries()["q21_sessionize"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # the split interleaves arrival order, so session counts may differ
+    # from the batch answer (out-of-order arrival can split OR merge);
+    # the order-robust invariants: every event counted exactly once, and
+    # the resumed run strictly extends the first run's state
+    for u, n in total_events.items():
+        assert got2[u][1] == n
+        assert got2[u][1] >= got1.get(u, (0, 0))[1]
+        assert got2[u][0] >= got1.get(u, (0, 0))[0]
+
+    # clean single-pass parity: one run over ALL events, event-time order
+    src2 = str(tmp_path / "events_all")
+    out2 = str(tmp_path / "events_out2")
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(src2)
+    sessionize_stream(spark, src2, str(tmp_path / "ck2"), out2)
+    got3 = {
+        r["user_id"]: r["n_sessions"]
+        for r in read_session_totals(spark, out2).collect()
+    }
+    assert got3 == batch
+
+
+def test_sample_frames_edges_and_resize_stub(spark):
+    """Frame sampler: n_frames < k yields each frame exactly once, in
+    order; resize stage passes payloads through unchanged without PIL
+    (documented stub) with the target dims stamped."""
+    from findopendata_spark.multimodal import resize_images, sample_frames
+
+    rows = [(1, b"aa", 3), (2, b"bb", 1), (3, b"cc", 16), (4, None, 240)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, n_frames long"
+    )
+    got = sample_frames(df, k=8, buckets=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(by_doc[1]) == [0, 1, 2]          # 3 frames, k=8 → all 3
+    assert by_doc[2] == [0]                        # single frame
+    assert sorted(by_doc[3]) == [0, 2, 4, 6, 8, 10, 12, 14]  # evenly spaced
+    assert len(by_doc[4]) == 8 and len(set(by_doc[4])) == 8
+    import hashlib as _h
+
+    d1 = {r["frame_idx"]: r["frame_digest"] for r in got if r["doc_id"] == 1}
+    assert d1[2] == _h.md5(b"aa:2").hexdigest()
+
+    rz = resize_images(df, target=(224, 224), buckets=4).collect()
+    assert {r["doc_id"]: bytes(r["payload"]) for r in rz}[1] == b"aa"
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rz)
+    assert {r["resizer"] for r in rz} == {"stub-passthrough"}

@@ -47,8 +47,12 @@ from findopendata_spark.functions.urls import canonicalize_url, url_host
 
 FETCH_OUT_SCHEMA = (
     "url_canon string, host string, depth int, doc_id string, "
-    "kind string, text string, media_ref string, offset int, rich double"
+    "kind string, text string, media_ref string, offset int"
 )
+# richness mode appends the parent score to every span row; bfs mode
+# (the default) skips the column — 8 dead bytes x every span row would
+# otherwise ride through the wave's biggest materialization
+FETCH_OUT_SCHEMA_RICH = FETCH_OUT_SCHEMA + ", rich double"
 
 
 @dataclass
@@ -111,7 +115,7 @@ def _is_blocked_expr():
     )
 
 
-def _make_fetch_fn(gcfg: G.GraphConfig):
+def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False):
     def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         """Synthetic fetch of one (host, salt) group — numpy only.
 
@@ -127,43 +131,36 @@ def _make_fetch_fn(gcfg: G.GraphConfig):
         )
         orig = ok[doc_idx]
         doc_ids = ("doc-" + pd.Series(h).astype(str)).to_numpy()
-        # parent-page richness rides along on every span row: the child
-        # scorer reads it off link rows directly — no per-doc agg/join
-        rich = G.page_richness(h, gcfg)
-        out = pd.DataFrame(
-            {
-                "url_canon": pdf["url_canon"].to_numpy()[orig],
-                "host": pdf["host"].to_numpy()[orig],
-                "depth": pdf["depth"].to_numpy()[orig],
-                "doc_id": doc_ids[orig],
-                "kind": kind,
-                "text": text,
-                "media_ref": media_ref,
-                "offset": offset,
-                "rich": rich[orig],
-            }
-        )
+        cols = {
+            "url_canon": pdf["url_canon"].to_numpy()[orig],
+            "host": pdf["host"].to_numpy()[orig],
+            "depth": pdf["depth"].to_numpy()[orig],
+            "doc_id": doc_ids[orig],
+            "kind": kind,
+            "text": text,
+            "media_ref": media_ref,
+            "offset": offset,
+        }
+        if with_rich:
+            # parent-page richness rides along on every span row: the
+            # child scorer reads it off link rows — no per-doc agg/join
+            cols["rich"] = G.page_richness(h, gcfg)[orig]
+        out = pd.DataFrame(cols)
         if failed.any():
             fi = np.nonzero(failed)[0]
-            out = pd.concat(
-                [
-                    out,
-                    pd.DataFrame(
-                        {
-                            "url_canon": pdf["url_canon"].to_numpy()[fi],
-                            "host": pdf["host"].to_numpy()[fi],
-                            "depth": pdf["depth"].to_numpy()[fi],
-                            "doc_id": doc_ids[fi],
-                            "kind": "fail",
-                            "text": None,
-                            "media_ref": None,
-                            "offset": np.zeros(len(fi), dtype=np.int32),
-                            "rich": np.zeros(len(fi), dtype=np.float64),
-                        }
-                    ),
-                ],
-                ignore_index=True,
-            )
+            fcols = {
+                "url_canon": pdf["url_canon"].to_numpy()[fi],
+                "host": pdf["host"].to_numpy()[fi],
+                "depth": pdf["depth"].to_numpy()[fi],
+                "doc_id": doc_ids[fi],
+                "kind": "fail",
+                "text": None,
+                "media_ref": None,
+                "offset": np.zeros(len(fi), dtype=np.int32),
+            }
+            if with_rich:
+                fcols["rich"] = np.zeros(len(fi), dtype=np.float64)
+            out = pd.concat([out, pd.DataFrame(fcols)], ignore_index=True)
         return out
 
     return fetch
@@ -203,6 +200,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     cat, cfg, gcfg = state.cat, state.cfg, state.gcfg
     assert cat.current_wave() == wave - 1, "waves must be sequential"
     shard_k = cfg.host_shards
+    rich_mode = cfg.priority_mode == "richness"
 
     # frontier stores only (url_canon, depth, priority, url_hash) — host is
     # re-derived on read (one parse_url pass) because writing the host
@@ -305,16 +303,23 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                 "salt", F.pmod(F.col("url_hash"), F.lit(cfg.hot_host_salt))
             )
             .groupBy("host", "salt")
-            .applyInPandas(_make_fetch_fn(gcfg), FETCH_OUT_SCHEMA)
+            .applyInPandas(
+                _make_fetch_fn(gcfg, with_rich=rich_mode),
+                FETCH_OUT_SCHEMA_RICH if rich_mode else FETCH_OUT_SCHEMA,
+            )
         )
         spans = spans.localCheckpoint()  # reused: docs build + links + lineage
         _mark("fetch_ckpt")
         # permanent fetch failures carry kind='fail' marker rows: they feed
-        # lineage accounting only — never the docs table or link extraction
-        failed_fetches = spans.filter(F.col("kind") == "fail").select(
-            "url_canon", "host"
-        )
-        spans = spans.filter(F.col("kind") != "fail")
+        # lineage accounting only — never the docs table or link extraction.
+        # With failures disabled the split is skipped (identical plan to r02)
+        if gcfg.fail_ppt > 0:
+            failed_fetches = spans.filter(F.col("kind") == "fail").select(
+                "url_canon", "host"
+            )
+            spans = spans.filter(F.col("kind") != "fail")
+        else:
+            failed_fetches = spans.limit(0).select("url_canon", "host")
 
         # 4. docs table (interleaved input_hint shape), JVM-side assembly
         docs = (
@@ -343,13 +348,15 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
 
         # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
         #    reference checks before download: ckan_crawler.py:161-176)
+        link_cols = [
+            canonicalize_url(F.col("text")).alias("url_canon"),
+            (F.col("depth") + 1).alias("depth"),
+        ]
+        if rich_mode:
+            link_cols.append(F.col("rich"))  # parent richness, from the UDF
         links = (
             spans.filter(F.col("kind") == "link")
-            .select(
-                canonicalize_url(F.col("text")).alias("url_canon"),
-                (F.col("depth") + 1).alias("depth"),
-                "rich",  # parent richness, attached by the fetch UDF
-            )
+            .select(*link_cols)
             .withColumn("host", url_host(F.col("url_canon")))
         )
         allowed = (
@@ -371,7 +378,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # scoring collapses into the ONE candidate groupBy — r02's plan
         # spent an extra 36M-row per-doc aggregation plus a 6M-row join
         # on the critical path for the same quantity.
-        if cfg.priority_mode == "richness":
+        if rich_mode:
             cand = (
                 allowed.groupBy("url_canon", "host")
                 .agg(

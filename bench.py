@@ -59,7 +59,8 @@ def bench_queries(spark) -> dict[str, float]:
 
 
 def bench_crawl(
-    cores: int, bulk_seeds: int = 700_000, budget: int = 30_000
+    cores: int, bulk_seeds: int = 700_000, budget: int = 30_000,
+    master: str | None = None,
 ) -> dict:
     """Fixed synthetic frontier (seed 42), W waves; returns throughput.
 
@@ -86,16 +87,19 @@ def bench_crawl(
     # serialize this many-stage pipeline; partition counts and skew are
     # already managed explicitly (salting + two-phase top-k).
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    conf = {
+        "spark.sql.adaptive.enabled": "false",
+        # tmpfs shuffle dir: isolates the measurement from the noisy
+        # shared-host disk; the crawl state dir lives there too
+        "spark.local.dir": os.path.join(shm, "spark-local"),
+    }
+    conf.update(_cluster_conf(master))
     spark = get_spark(
         f"bench-crawl-{cores}",
         cores=cores,
         shuffle_partitions=2 * cores,
-        extra_conf={
-            "spark.sql.adaptive.enabled": "false",
-            # tmpfs shuffle dir: isolates the measurement from the noisy
-            # shared-host disk; the crawl state dir lives there too
-            "spark.local.dir": os.path.join(shm, "spark-local"),
-        },
+        master=master,
+        extra_conf=conf,
     )
     cfg = CrawlConfig(per_host_wave_budget=budget, hot_host_salt=32)
     gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)
@@ -136,7 +140,36 @@ def bench_crawl(
         spark.stop()
 
 
-def bench_control(cores: int) -> dict:
+def _cluster_conf(master: str | None) -> dict[str, str]:
+    """local-cluster[n,c,memMB] legs: size the executor request to the
+    worker's grant (default spark.executor.memory=1g would waste the
+    worker) and keep the driver lean — the work happens in executors."""
+    if not master or not master.startswith("local-cluster["):
+        return {}
+    n, c, mem = master[len("local-cluster["):-1].split(",")
+    # executors are separate JVMs with their own python workers: the
+    # package ships as the real --py-files artifact (the exact zip
+    # spark-submit would distribute on a cluster)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        import package_pyfiles
+    finally:
+        _sys.path.pop(0)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    zip_path = os.path.join(shm, "findopendata_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        package_pyfiles.build(zip_path)
+    return {
+        "spark.executor.memory": f"{int(mem) - 512}m",
+        "spark.driver.memory": "8g",
+        "spark.submit.pyFiles": zip_path,
+    }
+
+
+def bench_control(cores: int, master: str | None = None) -> dict:
     """Perfectly-parallel control: the crawl's per-URL instruction mix
     (string synthesis, canonicalization, xxhash64, Arrow round-trip
     through the synthetic fetch UDF, parquet write) with ZERO
@@ -159,9 +192,11 @@ def bench_control(cores: int) -> dict:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     spark = get_spark(
         f"bench-control-{cores}", cores=cores, shuffle_partitions=2 * cores,
+        master=master,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             "spark.local.dir": os.path.join(shm, "spark-local"),
+            **_cluster_conf(master),
         },
     )
     gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)

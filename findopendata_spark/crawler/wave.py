@@ -45,14 +45,22 @@ from findopendata_spark.crawler import graph as G
 from findopendata_spark.crawler.seen import ShardedSeenFilter
 from findopendata_spark.functions.urls import canonicalize_url, url_host
 
-FETCH_OUT_SCHEMA = (
+# One NESTED row per fetched document — the interleaved input_hint shape
+# (doc_id, spans array<struct<kind,text,media_ref,offset>>) comes straight
+# out of the fetch UDF. r02 emitted one FLAT row per span (~20x the rows),
+# then re-aggregated them into docs with a full-wave groupBy + array_sort
+# shuffle; profiling showed that docs assembly and the flat-span
+# materialization were the two heaviest phases of the wave. The spans
+# array is built zero-copy in Arrow (ListArray over the flat numpy
+# columns), so no Python-level per-doc loop exists either.
+FETCH_DOC_SCHEMA = (
     "url_canon string, host string, depth int, doc_id string, "
-    "kind string, text string, media_ref string, offset int"
+    "failed boolean, spans array<struct"
+    "<kind:string,text:string,media_ref:string,offset:int>>"
 )
-# richness mode appends the parent score to every span row; bfs mode
-# (the default) skips the column — 8 dead bytes x every span row would
-# otherwise ride through the wave's biggest materialization
-FETCH_OUT_SCHEMA_RICH = FETCH_OUT_SCHEMA + ", rich double"
+# richness mode adds ONE doc-level parent score column (r02 carried it
+# on every span row)
+FETCH_DOC_SCHEMA_RICH = FETCH_DOC_SCHEMA + ", rich double"
 
 
 @dataclass
@@ -116,52 +124,62 @@ def _is_blocked_expr():
 
 
 def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False):
-    def fetch(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Synthetic fetch of one (host, salt) group — numpy only.
+    import pyarrow as pa
 
-        Permanent fetch failures (deterministic bounded-retry model,
-        :func:`G.fetch_failure_mask`) emit ONE ``kind='fail'`` marker row
-        instead of spans; run_wave routes those to lineage accounting
-        (the reference swallows-and-logs, ``ckan_crawler.py:186-202``)."""
-        h = pdf["url_hash"].to_numpy(np.int64, na_value=0).view(np.uint64)
+    def fetch(tbl: "pa.Table") -> "pa.Table":
+        """Synthetic fetch of one (host, salt) group — numpy + Arrow only.
+
+        Emits ONE nested row per input URL: the doc's spans in offset
+        order as a ListArray built directly over the flat numpy span
+        columns (zero-copy assembly, no per-doc Python loop). Permanent
+        fetch failures (deterministic bounded-retry model,
+        :func:`G.fetch_failure_mask`) get ``failed=true`` and an empty
+        span list; run_wave routes those to lineage accounting (the
+        reference swallows-and-logs, ``ckan_crawler.py:186-202``)."""
+        h = tbl.column("url_hash").to_numpy().astype(np.int64).view(np.uint64)
+        n = len(h)
         failed = G.fetch_failure_mask(h, gcfg)
         ok = np.nonzero(~failed)[0]
         doc_idx, kind, text, media_ref, offset = G.synth_fetch_pandas(
-            pd.Series(h[ok]), pdf["depth"].iloc[ok], gcfg
+            pd.Series(h[ok]), pd.Series(tbl.column("depth").to_numpy()[ok]),
+            gcfg,
         )
-        orig = ok[doc_idx]
-        doc_ids = ("doc-" + pd.Series(h).astype(str)).to_numpy()
-        cols = {
-            "url_canon": pdf["url_canon"].to_numpy()[orig],
-            "host": pdf["host"].to_numpy()[orig],
-            "depth": pdf["depth"].to_numpy()[orig],
-            "doc_id": doc_ids[orig],
-            "kind": kind,
-            "text": text,
-            "media_ref": media_ref,
-            "offset": offset,
-        }
+        # spans-per-doc counts in row order: synth_fetch's doc_idx is
+        # nondecreasing, failed rows contribute zero-length slices
+        counts = np.zeros(n, dtype=np.int64)
+        if len(ok):
+            counts[ok] = np.bincount(doc_idx, minlength=len(ok))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kind, type=pa.string()),
+                pa.array(text, type=pa.string()),
+                pa.array(media_ref, type=pa.string()),
+                pa.array(offset, type=pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), struct
+        )
+        doc_ids = "doc-" + pd.Series(h).astype(str)  # unsigned rendering
+        cols = [
+            tbl.column("url_canon"),
+            tbl.column("host"),
+            tbl.column("depth"),
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(failed),
+            spans,
+        ]
+        names = ["url_canon", "host", "depth", "doc_id", "failed", "spans"]
         if with_rich:
-            # parent-page richness rides along on every span row: the
-            # child scorer reads it off link rows — no per-doc agg/join
-            cols["rich"] = G.page_richness(h, gcfg)[orig]
-        out = pd.DataFrame(cols)
-        if failed.any():
-            fi = np.nonzero(failed)[0]
-            fcols = {
-                "url_canon": pdf["url_canon"].to_numpy()[fi],
-                "host": pdf["host"].to_numpy()[fi],
-                "depth": pdf["depth"].to_numpy()[fi],
-                "doc_id": doc_ids[fi],
-                "kind": "fail",
-                "text": None,
-                "media_ref": None,
-                "offset": np.zeros(len(fi), dtype=np.int32),
-            }
-            if with_rich:
-                fcols["rich"] = np.zeros(len(fi), dtype=np.float64)
-            out = pd.concat([out, pd.DataFrame(fcols)], ignore_index=True)
-        return out
+            # doc-level parent richness; the link scorer reads it off the
+            # exploded link rows — no per-doc aggregation or join
+            rich = G.page_richness(h, gcfg)
+            rich[failed] = 0.0
+            cols.append(pa.array(rich))
+            names.append("rich")
+        return pa.Table.from_arrays(cols, names=names)
 
     return fetch
 
@@ -297,65 +315,52 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             ranked.filter(F.col("rn") > budget).select(*fr_cols)
         )
 
-        # 3. fetch: salted (host, salt) groups → flat span rows
-        spans = (
+        # 3. fetch: salted (host, salt) groups → one NESTED row per doc
+        fetched = (
             selected.withColumn(
                 "salt", F.pmod(F.col("url_hash"), F.lit(cfg.hot_host_salt))
             )
             .groupBy("host", "salt")
-            .applyInPandas(
+            .applyInArrow(
                 _make_fetch_fn(gcfg, with_rich=rich_mode),
-                FETCH_OUT_SCHEMA_RICH if rich_mode else FETCH_OUT_SCHEMA,
+                FETCH_DOC_SCHEMA_RICH if rich_mode else FETCH_DOC_SCHEMA,
             )
         )
-        spans = spans.localCheckpoint()  # reused: docs build + links + lineage
+        fetched = fetched.localCheckpoint()  # reused: docs write + links + lineage
         _mark("fetch_ckpt")
-        # permanent fetch failures carry kind='fail' marker rows: they feed
-        # lineage accounting only — never the docs table or link extraction.
-        # With failures disabled the split is skipped (identical plan to r02)
+        # permanent fetch failures carry failed=true + empty spans: they
+        # feed lineage accounting only — never the docs table or links.
+        # With failures disabled the split is skipped (identical plan).
         if gcfg.fail_ppt > 0:
-            failed_fetches = spans.filter(F.col("kind") == "fail").select(
+            failed_fetches = fetched.filter(F.col("failed")).select(
                 "url_canon", "host"
             )
-            spans = spans.filter(F.col("kind") != "fail")
+            okdocs = fetched.filter(~F.col("failed"))
         else:
-            failed_fetches = spans.limit(0).select("url_canon", "host")
+            failed_fetches = fetched.limit(0).select("url_canon", "host")
+            okdocs = fetched
 
-        # 4. docs table (interleaved input_hint shape), JVM-side assembly
-        docs = (
-            spans.groupBy("doc_id", "url_canon", "host")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-                ).alias("_s")
-            )
-            .select(
-                "doc_id",
-                "url_canon",
-                "host",
-                F.transform(
-                    "_s",
-                    lambda s: F.struct(
-                        s["kind"].alias("kind"),
-                        s["text"].alias("text"),
-                        s["media_ref"].alias("media_ref"),
-                        s["offset"].alias("offset"),
-                    ),
-                ).alias("spans"),
-            )
-        )
+        # 4. docs table (interleaved input_hint shape): the fetch UDF
+        # already emits it — staging is a plain append, no shuffle/sort
+        docs = okdocs.select("doc_id", "url_canon", "host", "spans")
         f_docs = ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave)
 
         # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
-        #    reference checks before download: ckan_crawler.py:161-176)
+        #    reference checks before download: ckan_crawler.py:161-176).
+        # Exploding only the link spans is a narrow op over the nested
+        # checkpoint — no flat-span shuffle or materialization exists.
         link_cols = [
-            canonicalize_url(F.col("text")).alias("url_canon"),
+            canonicalize_url(F.col("s.text")).alias("url_canon"),
             (F.col("depth") + 1).alias("depth"),
         ]
         if rich_mode:
-            link_cols.append(F.col("rich"))  # parent richness, from the UDF
+            link_cols.append(F.col("rich"))  # doc-level parent richness
         links = (
-            spans.filter(F.col("kind") == "link")
+            okdocs.select(
+                F.explode("spans").alias("s"), "depth",
+                *(["rich"] if rich_mode else []),
+            )
+            .filter(F.col("s.kind") == "link")
             .select(*link_cols)
             .withColumn("host", url_host(F.col("url_canon")))
         )

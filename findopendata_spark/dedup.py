@@ -233,6 +233,88 @@ def near_dup_pairs(
     )
 
 
+def allpairs_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity self-join via prefix filtering
+    (AllPairs / SSJoin family — Bayardo et al., WWW'07; Chaudhuri et
+    al., ICDE'06). No sketch, no miss probability: provably every pair
+    with J >= threshold is produced, yet the join never goes O(n^2).
+
+    Why it scales: under any one global total order on grams, two sets
+    with overlap >= a must collide inside their first ``|X| - a + 1``
+    grams (pigeonhole), and J >= t implies overlap >= ceil(t*max(|A|,
+    |B|)). So each doc emits only its first ``|G| - ceil(t*|G|) + 1``
+    grams (frequency-ascending order — rarest first, the strongest
+    pruning), candidates come from a band-style equi-join on those
+    prefix grams with a size-ratio filter (t*|A| <= |B| <= |A|/t), and
+    the exact array_intersect verify runs on candidates only. Candidate
+    volume ~ pairs sharing a *rare* gram, not pairs.
+
+    This is the exact counterpart to :func:`near_dup_pairs` (MinHash,
+    approximate) — the "n-gram Jaccard" dedup mode of the training-data
+    pipeline suite. Reference analog: the pg_trgm ``%`` similarity join
+    (``/root/reference/sql/create_metadata_tables.sql:84``), which is
+    likewise an exact posting-prefilter + verify.
+    """
+    t = float(threshold)
+    # float guard: t*s can land one ulp above an exact integer product
+    # (0.6*5 -> 3.0000000000000004), which would shorten the prefix /
+    # tighten the size filter and silently drop a boundary pair
+    eps = 1e-9
+    sets = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles_expr(F.col(text_col), shingle_n).alias("g"),
+    ).withColumn("s", F.size("g")).filter(F.col("s") > 0)
+    sets.cache()
+
+    ex = sets.select("_id", "s", F.explode("g").alias("gram"))
+    gram_df = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # prefix = first (s - ceil(t*s) + 1) grams in (df asc, gram asc)
+    # order; window is per-doc (one shuffle on _id), bounded by doc size
+    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("gram"))
+    prefix = (
+        ex.join(gram_df, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn") <= F.col("s") - F.ceil(t * F.col("s") - eps) + 1
+        )
+        .select("gram", "_id", "s")
+    )
+    left = prefix.select(
+        F.col("gram"), F.col("_id").alias("a"), F.col("s").alias("sa")
+    )
+    right = prefix.select(
+        F.col("gram"), F.col("_id").alias("b"), F.col("s").alias("sb")
+    )
+    cand = (
+        left.join(right, "gram")
+        .filter(
+            (F.col("a") < F.col("b"))
+            # size filter: J >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("sb") * t <= F.col("sa") + eps)
+            & (F.col("sa") * t <= F.col("sb") + eps)
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    ga = sets.select(F.col("_id").alias("a"), F.col("g").alias("g_a"))
+    gb = sets.select(F.col("_id").alias("b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cand.join(ga, "a")
+        .join(gb, "b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= t)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 FP_BASE = 257                 # rolling polynomial base (> max byte)
 FP_MOD = (1 << 31) - 1        # Mersenne prime 2^31-1
 

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from findopendata_spark.dedup import (
+    allpairs_jaccard_pairs,
     md5_token_hashes_expr,
     simhash64,
     simhash_near_dup_pairs,
@@ -54,9 +55,22 @@ def q50_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(clips, k=8, buckets=32)
 
 
+def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (J >= 0.6) via prefix
+    filtering (AllPairs) — the sketch-free dedup mode. Unlike q22
+    (MinHash, probabilistic recall), this plan is provably exact while
+    still avoiding the O(n^2) cross join: candidates come from an
+    equi-join on rarest-prefix grams + a size-ratio filter; only those
+    pairs are verified. The DuckDB oracle IS the O(n^2) scan."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    docs = load(spark, sf_dir, "documents")
+    return allpairs_jaccard_pairs(docs, threshold=0.6, shingle_n=3)
+
+
 QUERIES9 = {
     "q49_simhash_near_dup": q49_simhash_near_dup,
     "q50_frame_sample": q50_frame_sample,
+    "q51_ngram_jaccard_pairs": q51_ngram_jaccard_pairs,
 }
 
 # Shared with q23's oracle: md5-derived 60-bit token hash, sign-of-sum
@@ -94,6 +108,26 @@ ORACLE_SQL9: dict[str, str | None] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "q51_ngram_jaccard_pairs": """
+        WITH t AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(
+                    len(string_split_regex(lower(trim(text)), '\\s+')) - 2,
+                    0)),
+                i -> array_to_string(
+                    string_split_regex(lower(trim(text)), '\\s+')[i:i+2],
+                    ' '))) AS g
+            FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                     (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+                     6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(a.g) > 0 AND len(b.g) > 0
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+              (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.6
     """,
     "q50_frame_sample": """
         WITH v AS (

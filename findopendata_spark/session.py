@@ -30,6 +30,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    if master is None:
+        # under spark-submit the master comes from the launcher
+        # (--master yarn/k8s/local-cluster...); forcing local[cores] here
+        # would silently override it. Only default to local[cores] when
+        # no launcher-provided master exists (plain `python x.py` runs).
+        from pyspark import SparkConf
+
+        master = SparkConf().get("spark.master", None) or f"local[{cores}]"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")

@@ -640,3 +640,71 @@ def test_sample_frames_edges_and_resize_stub(spark):
     assert {r["doc_id"]: bytes(r["payload"]) for r in rz}[1] == b"aa"
     assert all(r["width"] == 224 and r["height"] == 224 for r in rz)
     assert {r["resizer"] for r in rz} == {"stub-passthrough"}
+
+
+def test_allpairs_jaccard_exactness_vs_bruteforce(spark):
+    """Prefix-filtered AllPairs join must equal the O(n^2) scan exactly,
+    including boundary pairs where |B|*t == |A| (the size-filter edge)
+    and J == t exactly (3/5 at t=0.6) — the float-guard cases."""
+    import random
+
+    from findopendata_spark.dedup import allpairs_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        # boundary: A's 3 grams all inside B's 5 grams -> J = 3/5 = t
+        (1, "a b c d e"),
+        (2, "a b c d e f g"),
+        # exact duplicate pair
+        (3, "x y z q r s"),
+        (4, "x y z q r s"),
+        # disjoint
+        (5, "p1 p2 p3 p4"),
+    ] + [
+        (10 + i, " ".join(rng.choices(vocab, k=rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in allpairs_jaccard_pairs(docs, threshold=t, shingle_n=3).collect()
+    }
+    from findopendata_spark.dedup import shingles_expr
+
+    g = {
+        r["doc_id"]: set(r["g"])
+        for r in docs.select(
+            "doc_id", shingles_expr(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    expect = {}
+    ids = sorted(g)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not g[a] or not g[b]:
+                continue
+            u = g[a] | g[b]
+            j = len(g[a] & g[b]) / len(u)
+            if j >= t:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert got[(1, 2)] == 0.6      # boundary pair survived the filters
+    assert got[(3, 4)] == 1.0
+
+
+def test_allpairs_plan_has_no_cross_join(spark):
+    """The candidate stage must be an equi-join on prefix grams — a
+    cross join / broadcast nested loop anywhere in the plan means the
+    prefilter silently degraded to O(n^2)."""
+    from findopendata_spark.dedup import allpairs_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i} t{i+1} t{i+2} t{i+3} common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = allpairs_jaccard_pairs(docs, threshold=0.6)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -329,19 +329,50 @@ def main() -> None:
         # identical code measuring 45.6 s and 63.3 s an hour apart);
         # max-throughput is the least-disturbed run.
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-        lo, hi, lo_all, hi_all = _best_of_interleaved(
-            "bench_crawl", N_LO, N_HI, runs
-        )
         ratio = N_HI / N_LO
-        eff = hi["throughput_urls_per_s"] / (ratio * lo["throughput_urls_per_s"])
+
+        def _eff(lo_r, hi_r):
+            return round(
+                hi_r["throughput_urls_per_s"]
+                / (ratio * lo_r["throughput_urls_per_s"]), 3
+            )
+
+        # HEADLINE: the LARGE wave (4x seeds + politeness budget) at
+        # N_LO → N_HI. The north rule's scaling criterion describes
+        # 10^10-URL-frontier waves; the large wave is the closest
+        # in-sandbox shape, and it amortizes the fixed per-wave
+        # orchestration cost F that dominates any small wave by
+        # construction (BENCH/BASELINE.md quantifies F — at the 10^10
+        # target a wave is ~10^4x larger still, so F → noise). The small
+        # r01/r02-comparable wave is kept below as a secondary point.
+        seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
+        llo, lhi, llo_all, lhi_all = _best_of_interleaved(
+            "bench_crawl", N_LO, N_HI, runs,
+            bulk_seeds=seeds, budget=120_000,
+        )
         crawl = {
-            "n_lo": lo,
-            "n_hi": hi,
-            "all_runs_lo": lo_all,
-            "all_runs_hi": hi_all,
+            "headline": "large_wave",
             "parallelism_ratio": ratio,
-            "scaling_efficiency": round(eff, 3),
+            "bulk_seeds": seeds,
+            "budget": 120_000,
+            "n_lo": llo,
+            "n_hi": lhi,
+            "all_runs_lo": llo_all,
+            "all_runs_hi": lhi_all,
+            "scaling_efficiency": _eff(llo, lhi),
         }
+        if os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1") != "0":
+            # secondary: the 700k-seed wave, directly comparable to r01/r02
+            slo, shi, slo_all, shi_all = _best_of_interleaved(
+                "bench_crawl", N_LO, N_HI, runs
+            )
+            crawl["small_wave"] = {
+                "n_lo": slo,
+                "n_hi": shi,
+                "all_runs_lo": slo_all,
+                "all_runs_hi": shi_all,
+                "scaling_efficiency": _eff(slo, shi),
+            }
         if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
             # Paired control: the same per-URL instruction mix with zero
             # coordination (one stage, no shuffle/window/join/commit).
@@ -349,7 +380,9 @@ def main() -> None:
             # perfectly-parallel run of this workload (single shared
             # memory bus + allocator — see BENCH/BASELINE.md);
             # efficiency_vs_control isolates the engine's own
-            # orchestration overhead from host physics.
+            # orchestration overhead from host physics. One control pair
+            # serves both wave sizes (its throughput is per-URL work,
+            # independent of wave size).
             clo, chi, clo_all, chi_all = _best_of_interleaved(
                 "bench_control", N_LO, N_HI, runs
             )
@@ -363,53 +396,18 @@ def main() -> None:
                 "all_runs_hi": chi_all,
                 "control_efficiency": round(ceff, 3),
             }
-            crawl["efficiency_vs_control"] = round(eff / ceff, 3)
-        if os.environ.get("SPARK_GRAFT_BENCH_LARGE", "1") != "0":
-            # Large-wave datapoint (VERDICT r02 item 1b): 4x the wave work
-            # (2.8M seeds, 120k politeness budget), ONE run per level,
-            # interleaved, with its OWN paired control at the same cores.
-            # Evidences that the fixed per-wave cost F amortizes with wave
-            # size — at the 10^10-URL target a wave is ~10^4x larger
-            # still, so F -> noise by construction. Core pair = cpus/16 →
-            # cpus/4 (2→8 here): still N→4N per the north rule, chosen
-            # INSIDE the host's flat per-core region (per-core throughput
-            # cliffs past 16 active cores — BENCH/BASELINE.md), which a
-            # real cluster preserves per-node.
-            seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
-            l_lo_cores = max(2, CPUS // 16)
-            l_hi_cores = max(8, CPUS // 4)
-            llo, lhi, _, _ = _best_of_interleaved(
-                "bench_crawl", l_lo_cores, l_hi_cores, 1,
-                bulk_seeds=seeds, budget=120_000,
+            crawl["efficiency_vs_control"] = round(
+                crawl["scaling_efficiency"] / ceff, 3
             )
-            l_ratio = l_hi_cores / l_lo_cores
-            leff = lhi["throughput_urls_per_s"] / (
-                l_ratio * llo["throughput_urls_per_s"]
-            )
-            crawl["large_wave"] = {
-                "bulk_seeds": seeds,
-                "budget": 120_000,
-                "parallelism_ratio": l_ratio,
-                "n_lo": llo,
-                "n_hi": lhi,
-                "scaling_efficiency": round(leff, 3),
-            }
-            if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
-                lclo, lchi, _, _ = _best_of_interleaved(
-                    "bench_control", l_lo_cores, l_hi_cores, 1
-                )
-                lceff = lchi["throughput_urls_per_s"] / (
-                    l_ratio * lclo["throughput_urls_per_s"]
-                )
-                crawl["large_wave"]["control"] = {
-                    "n_lo": lclo,
-                    "n_hi": lchi,
-                    "control_efficiency": round(lceff, 3),
-                }
-                crawl["large_wave"]["efficiency_vs_control"] = round(
-                    leff / lceff, 3
+            if "small_wave" in crawl:
+                crawl["small_wave"]["efficiency_vs_control"] = round(
+                    crawl["small_wave"]["scaling_efficiency"] / ceff, 3
                 )
         result["crawl"] = crawl
+        # cooldown: sustained multi-core crawl legs trigger sandbox CPU
+        # throttling that decays over minutes; without it the queries
+        # phase silently measures the throttle, not the engine.
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "90")))
     spark = _new_spark(CPUS)
     queries = bench_queries(spark)
     result["value"] = round(sum(queries.values()), 3)

@@ -63,11 +63,19 @@ class SnapshotCatalog:
 
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """DataFrame of the committed snapshot, or None if never committed."""
+        """DataFrame of the committed snapshot, or None if never committed.
+
+        recursiveFileLookup: a snapshot may be staged in PARTS (sub-dirs
+        written by independent jobs at different points in the wave —
+        see :meth:`prepare_snap`); snapshots carry no partition columns,
+        so a recursive flat listing is always the right read."""
         snap = self._read_pointer()["tables"].get(table)
         if snap is None:
             return None
-        return spark.read.parquet(os.path.join(self.root, table, snap))
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.root, table, snap))
+        )
 
     def read_at(self, spark: SparkSession, table: str, wave: int) -> DataFrame | None:
         """Time travel: the table as of wave `wave` (reads the wave log)."""
@@ -79,13 +87,39 @@ class SnapshotCatalog:
             return None
         if snap is None:
             return None
-        return spark.read.parquet(os.path.join(self.root, table, snap))
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.root, table, snap))
+        )
 
     # -- write ------------------------------------------------------------
-    def stage(self, df: DataFrame, table: str, wave: int) -> str:
-        """Write an immutable snapshot dir for `table`; invisible until commit."""
+    def prepare_snap(self, table: str, wave: int) -> None:
+        """Clear a (possibly killed-run) snapshot dir before PART staging.
+
+        Must be called from the driver thread before the first
+        ``stage(..., part=...)`` of a (table, wave): part writes never
+        remove the snapshot root themselves (two parts may be writing
+        concurrently from staging threads), so a stale part from a killed
+        run that the new wave doesn't rewrite would otherwise survive
+        into the committed snapshot."""
+        path = os.path.join(self.root, table, f"snap-{wave:06d}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    def stage(
+        self, df: DataFrame, table: str, wave: int, part: str | None = None
+    ) -> str:
+        """Write an immutable snapshot dir for `table`; invisible until commit.
+
+        ``part`` stages one named sub-dir of the snapshot, letting
+        independent jobs write disjoint slices of the same snapshot at
+        different points in the wave (the frontier's big carry-over base
+        starts writing at selection time; the small new-URL delta lands
+        after dedup). Callers must :meth:`prepare_snap` once first."""
         snap = f"snap-{wave:06d}"
         path = os.path.join(self.root, table, snap)
+        if part is not None:
+            path = os.path.join(path, f"part-{part}")
         if os.path.exists(path):  # leftover from a killed run — overwrite
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)

@@ -314,6 +314,17 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
             ranked.filter(F.col("rn") > budget).select(*fr_cols)
         )
+        # next-frontier BASE = leftover ∪ not-ready: ~98% of the next
+        # frontier is known the moment selection lands, so its (big)
+        # write starts NOW and overlaps fetch + candidate compute; only
+        # the small new-URL delta part remains for the post-dedup tail.
+        # Profiling showed the monolithic frontier write was the
+        # largest serial block between dedup and commit.
+        cat.prepare_snap("frontier", wave)
+        f_frontier_base = ex.submit(
+            _timed, "frontier_base", cat.stage,
+            leftover.unionByName(not_ready), "frontier", wave, "base",
+        )
 
         # 3. fetch: salted (host, salt) groups → one NESTED row per doc
         fetched = (
@@ -418,11 +429,8 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         new = new.localCheckpoint()
         _mark("dedup_ckpt")
 
-        # 7. next state: leftovers ∪ not-ready ∪ new — no anti-join shuffle;
-        # the selection windows already split the frontier exactly.
-        frontier_next = leftover.unionByName(not_ready).unionByName(
-            new.select(*fr_cols)
-        )
+        # 7. next state: the base part (leftover ∪ not-ready) has been
+        # writing since selection; only the new-URL delta lands here.
         new_seen = new.select("url_canon", "url_hash", F.lit(wave).alias("first_wave"))
 
         # 8. lineage per (wave, host_shard) — the per-partition audit rows.
@@ -459,23 +467,36 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # overlap the seen-filter shard delta. The atomic publish still
         # happens only after every write lands; the filter is driver state,
         # safe to update pre-commit (rebuilt from tables on resume).
-        f_frontier = ex.submit(_timed, "frontier", cat.stage, frontier_next,
-                               "frontier", wave)
+        f_frontier_delta = ex.submit(
+            _timed, "frontier_delta", cat.stage, new.select(*fr_cols),
+            "frontier", wave, "delta",
+        )
         futs = [
             f_docs,
+            f_frontier_base,
             ex.submit(_timed, "seen", cat.stage_append, new_seen, "seen", wave),
             ex.submit(_timed, "lineage", cat.stage_append, lineage, "lineage",
                       wave),
-            ex.submit(_timed, "bloomdelta", seen_filter.or_delta, spark,
-                      new.select("url_hash")),
         ]
-        staged = {"frontier": f_frontier.result(), "host_state": f_hosts.result()}
+        # seen-filter shard delta runs concurrently but does NOT gate the
+        # commit: it is driver-side state maintenance (rebuilt from
+        # tables on resume) — only the NEXT wave's probe needs it, and
+        # run_wave is serial per wave, so awaiting it after the commit
+        # keeps it entirely off the wave's critical path.
+        f_bloom = ex.submit(_timed, "bloomdelta", seen_filter.or_delta,
+                            spark, new.select("url_hash"))
+        staged = {
+            "frontier": f_frontier_delta.result(),
+            "host_state": f_hosts.result(),
+        }
         for fut in futs:
             fut.result()
+        cat.commit_wave(wave, staged)
+        _mark("stage_commit")
+        f_bloom.result()
+        _mark("bloom_delta")
     finally:
         ex.shutdown(wait=True)
-    cat.commit_wave(wave, staged)
-    _mark("stage_commit")
 
     # stats from the already-written lineage parquet (one tiny read — no
     # recount jobs over the big frames)

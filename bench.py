@@ -94,6 +94,15 @@ def bench_crawl(
         "spark.local.dir": os.path.join(shm, "spark-local"),
     }
     conf.update(_cluster_conf(master))
+    if bulk_seeds >= 1_500_000 and "SPARK_GRAFT_JVM_OPTS" not in os.environ:
+        # GC by live-set size (A/B'd same-host, quiet windows): the
+        # large wave's checkpoint/cache live set thrashes ParallelGC at
+        # 16 threads (hi leg 183.8 s -> 134.6 s under G1, lo 240.7 ->
+        # 166.8), while the small wave's young-gen-heavy churn favors
+        # ParallelGC (hi leg 22.7 s PGC vs 42.5 s G1). Fresh JVM per
+        # leg, so the option applies cleanly.
+        conf["spark.driver.extraJavaOptions"] = "-XX:+UseG1GC"
+        conf["spark.executor.extraJavaOptions"] = "-XX:+UseG1GC"
     spark = get_spark(
         f"bench-crawl-{cores}",
         cores=cores,
@@ -138,6 +147,41 @@ def bench_crawl(
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.stop()
+
+
+def host_scaling_probe(lo: int, hi: int) -> dict:
+    """~15 s pure-python multiprocessing probe: how much extra CPU does
+    this host actually grant from `lo` to `hi` workers RIGHT NOW?
+
+    No Spark, no allocation pressure — just integer loops. Its lo→hi
+    efficiency is the hard ceiling the sandbox imposes on ANY workload
+    during this bench run; recording it per-run lets a reader separate
+    engine scaling from host throttling (measured on this host: the
+    probe swings 0.27–0.84 between sessions hours apart)."""
+    import multiprocessing as mp
+
+    def _thr(procs: int) -> float:
+        n = 3_000_000
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn, [n] * procs * 4)
+            return procs * 4 * n / (time.time() - t0)
+
+    t_lo, t_hi = _thr(lo), _thr(hi)
+    return {
+        "lo_workers": lo,
+        "hi_workers": hi,
+        "mops_lo": round(t_lo / 1e6, 1),
+        "mops_hi": round(t_hi / 1e6, 1),
+        "probe_efficiency": round(t_hi / (t_lo * hi / lo), 3),
+    }
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
 
 
 def _cluster_conf(master: str | None) -> dict[str, str]:
@@ -346,12 +390,14 @@ def main() -> None:
         # target a wave is ~10^4x larger still, so F → noise). The small
         # r01/r02-comparable wave is kept below as a secondary point.
         seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
+        probe_pre = host_scaling_probe(N_LO, N_HI)
         llo, lhi, llo_all, lhi_all = _best_of_interleaved(
             "bench_crawl", N_LO, N_HI, runs,
             bulk_seeds=seeds, budget=120_000,
         )
         crawl = {
             "headline": "large_wave",
+            "host_probe": probe_pre,
             "parallelism_ratio": ratio,
             "bulk_seeds": seeds,
             "budget": 120_000,
@@ -403,6 +449,7 @@ def main() -> None:
                 crawl["small_wave"]["efficiency_vs_control"] = round(
                     crawl["small_wave"]["scaling_efficiency"] / ceff, 3
                 )
+        crawl["host_probe_post"] = host_scaling_probe(N_LO, N_HI)
         result["crawl"] = crawl
         # cooldown: sustained multi-core crawl legs trigger sandbox CPU
         # throttling that decays over minutes; without it the queries

@@ -325,6 +325,14 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             _timed, "frontier_base", cat.stage,
             leftover.unionByName(not_ready), "frontier", wave, "base",
         )
+        # the two selection caches (frontier-sized — the wave's largest
+        # cached frames) have no consumer after the base part is staged;
+        # dropping them immediately shrinks the live set under the
+        # candidate phase (GC pressure was the measured super-linear
+        # term on large waves). `f` stays cached for the lineage scan.
+        f_frontier_base.add_done_callback(
+            lambda _fut: (ranked_pre.unpersist(), ranked.unpersist())
+        )
 
         # 3. fetch: salted (host, salt) groups → one NESTED row per doc
         fetched = (
@@ -510,8 +518,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     n_fetched = int(lin_agg["f"] or 0)
     n_new = int(lin_agg["e"] or 0)
     state._seen_count += n_new
-    for df in (f, ranked_pre, ranked):
-        df.unpersist()
+    f.unpersist()  # ranked/ranked_pre dropped when the base part staged
     # checkpointed RDDs (selected/spans/cand/new) are reclaimed by the
     # ContextCleaner once these references drop
     if state._frontier_count is None:  # resume: count once

@@ -320,19 +320,23 @@ def _subprocess_bench(fn_name: str, cores: int, **kwargs) -> dict:
         "import json, bench; print('BENCHJSON:'+json.dumps(bench.%s(%d%s)))"
         % (fn_name, cores, kw)
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=1800,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("BENCHJSON:"):
-            return json.loads(line[len("BENCHJSON:"):])
-    raise RuntimeError(
-        f"{fn_name} failed at {cores} cores: {out.stderr[-2000:]}"
-    )
+    last_err = ""
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("BENCHJSON:"):
+                return json.loads(line[len("BENCHJSON:"):])
+        # transient host stalls can kill python workers mid-leg
+        # (observed: a 57 ms hrtimer stall -> socket reset -> job
+        # abort); one retry in a fresh JVM rides it out
+        last_err = out.stderr[-2000:]
+    raise RuntimeError(f"{fn_name} failed at {cores} cores: {last_err}")
 
 
 def _best_of_interleaved(

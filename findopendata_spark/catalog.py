@@ -208,7 +208,12 @@ class SnapshotCatalog:
     def read_appended(
         self, spark: SparkSession, table: str, upto: int | None = None
     ) -> DataFrame | None:
-        """Union of all committed wave appends (wave partition col included)."""
+        """Union of all committed wave appends (wave partition col included).
+
+        Waves below the table's ``append_base`` (set by a compaction —
+        see :meth:`commit_wave`) are invisible: a compaction rewrote
+        their surviving rows into its own wave dir, Iceberg's
+        rewrite-manifests move at directory granularity."""
         from pyspark.sql import functions as F
 
         base = os.path.join(self.root, table)
@@ -217,20 +222,32 @@ class SnapshotCatalog:
         ):
             return None
         upto = self.current_wave() if upto is None else upto
+        floor = int(self._read_pointer().get("append_base", {}).get(table, 0))
         df = spark.read.option("basePath", base).parquet(base)
-        return df.filter(F.col("wave") <= upto)
+        return df.filter((F.col("wave") >= floor) & (F.col("wave") <= upto))
 
-    def commit_wave(self, wave: int, staged: dict[str, str]) -> None:
+    def commit_wave(
+        self,
+        wave: int,
+        staged: dict[str, str],
+        append_base: dict[str, int] | None = None,
+    ) -> None:
         """Atomically publish wave `wave`.
 
         `staged` maps table → snapshot name returned by :meth:`stage`.
         Tables not in `staged` keep their previous snapshot (copy-on-write
-        at table granularity).
+        at table granularity). ``append_base`` marks append tables whose
+        content this wave REWROTE wholesale (compaction/eviction): their
+        pre-`wave` append dirs become invisible atomically with the
+        commit — the physical dirs stay (time travel), readers skip them.
         """
         pointer = self._read_pointer()
         if wave <= pointer["wave"]:
             raise ValueError(f"wave {wave} already committed (at {pointer['wave']})")
         pointer["tables"].update(staged)
+        if append_base:
+            ab = pointer.setdefault("append_base", {})
+            ab.update({t: int(w) for t, w in append_base.items()})
         pointer["wave"] = wave
         os.makedirs(os.path.join(self.root, "_waves"), exist_ok=True)
         log = os.path.join(self.root, "_waves", f"wave-{wave:06d}.json")

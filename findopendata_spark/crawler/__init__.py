@@ -12,5 +12,10 @@ deterministic per-wave Spark job:
 - task log lines        → lineage rows per (wave, host_shard)
 """
 
-from findopendata_spark.crawler.wave import CrawlState, crawl, run_wave  # noqa: F401
+from findopendata_spark.crawler.wave import (  # noqa: F401
+    CrawlState,
+    crawl,
+    recrawl_stale,
+    run_wave,
+)
 from findopendata_spark.crawler.graph import GraphConfig, seed_frontier  # noqa: F401

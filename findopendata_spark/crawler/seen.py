@@ -114,6 +114,24 @@ class ShardedSeenFilter:
                 self.shards, delta_df, self.m_bits_shard, self.k, self.n_shards
             )
 
+    def delete_delta(self, spark, delta_df) -> None:
+        """Evict keys (recrawl policy). Cuckoo shards delete in place
+        executor-side — the operation the cuckoo family exists for;
+        Bloom cannot unset bits, so bloom mode marks the filter for a
+        full rebuild from the (already-compacted) seen table before the
+        next probe."""
+        if self.kind == "cuckoo":
+            bc = spark.sparkContext.broadcast(self.shards)
+            try:
+                new_shards = _delete_cuckoo_shards(
+                    delta_df, bc, self.n_buckets_shard, self.n_shards
+                )
+                self.shards.update(new_shards)
+            finally:
+                bc.unpersist()
+        else:
+            self.force_rebuild = True
+
     # -- probe ----------------------------------------------------------------
     def with_maybe_seen(
         self, spark, df, hash_col: str = "url_hash", mode: str = "broadcast",
@@ -276,6 +294,32 @@ def _insert_cuckoo_shards(
     shards = {int(r["shard_id"]): bytes(r["bits"]) for r in rows}
     dropped = sum(int(r["dropped"]) for r in rows)
     return shards, dropped
+
+
+def _delete_cuckoo_shards(
+    delta_df, shards_bc, n_buckets: int, n_shards: int
+) -> dict[int, bytes]:
+    """Delete keys from broadcast shard tables executor-side; only the
+    touched shards' new tables return to the driver (the eviction twin
+    of :func:`_insert_cuckoo_shards`)."""
+    from pyspark.sql import functions as F
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        cf = CK.CuckooFilter.from_bytes(shards_bc.value[sid], n_buckets)
+        cf.delete_batch(pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame({"shard_id": [sid], "bits": [cf.to_bytes()]})
+
+    rows = (
+        delta_df.select(
+            F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id"),
+            "url_hash",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(fn, "shard_id int, bits binary")
+        .collect()
+    )
+    return {int(r["shard_id"]): bytes(r["bits"]) for r in rows}
 
 
 def _with_maybe_seen_cuckoo(

@@ -534,6 +534,73 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     }
 
 
+def recrawl_stale(
+    spark: SparkSession, state: CrawlState, max_age_waves: int,
+    recrawl_priority: float = 2.0,
+) -> dict:
+    """Freshness-driven recrawl: evict stale URLs from the seen set and
+    re-enqueue them — committed as its own wave.
+
+    The reference recrawls by re-harvesting endpoints and letting the
+    freshness-conditioned upsert decide what changed
+    (``ckan_crawler.py:161-171``, ``generate_metadata.py:18-94``'s stale
+    work list). Here staleness is explicit: every seen row carries the
+    wave that first enqueued it (``first_wave``); rows with
+    ``first_wave <= current - max_age_waves``
+
+    1. leave the seen set via an append-table COMPACTION (the survivors
+       are rewritten as this wave's single append dir and the catalog's
+       ``append_base`` makes older dirs invisible atomically with the
+       commit — Iceberg's rewrite-manifests move);
+    2. are deleted from the cuckoo seen filter executor-side
+       (``ShardedSeenFilter.delete_delta`` — the eviction op the cuckoo
+       family exists for; Bloom mode forces a rebuild from the
+       compacted table instead);
+    3. re-enter the frontier at ``recrawl_priority`` (> any 1/(depth+1)
+       child score, so refreshes front-run discovery) with depth 0.
+
+    The next ordinary wave then re-fetches them subject to the same
+    politeness budgets, and they re-enter the seen set with a fresh
+    ``first_wave`` — the conservation and uniqueness invariants the
+    crawler tests pin continue to hold.
+    """
+    cat = state.cat
+    wave = cat.current_wave() + 1
+    seen = cat.read_appended(spark, "seen")
+    frontier = cat.read(spark, "frontier")
+    cutoff = wave - 1 - max_age_waves
+    # a URL enqueued long ago but still PENDING in the frontier must not
+    # be re-added (it would duplicate a frontier row and double-spend
+    # politeness budget) — recrawl applies to fetched-and-gone URLs only
+    stale = (
+        seen.filter(F.col("first_wave") <= cutoff)
+        .select("url_canon", "url_hash")
+        .join(frontier.select("url_canon"), "url_canon", "left_anti")
+    )
+    stale = stale.localCheckpoint()  # read before the compaction overwrites
+    n_stale = stale.count()
+    fresh = seen.join(
+        stale.select("url_canon"), "url_canon", "left_anti"
+    ).select("url_canon", "url_hash", "first_wave")
+    re_rows = stale.select(
+        "url_canon",
+        F.lit(0).alias("depth"),
+        F.lit(float(recrawl_priority)).alias("priority"),
+        "url_hash",
+    )
+    cat.prepare_snap("frontier", wave)
+    snap = cat.stage(frontier.unionByName(re_rows), "frontier", wave)
+    cat.stage_append(fresh, "seen", wave)
+    cat.commit_wave(wave, {"frontier": snap}, append_base={"seen": wave})
+
+    if state._seen_filter is not None:
+        state._seen_filter.delete_delta(spark, stale.select("url_hash"))
+    state._seen_count = max(state._seen_count - n_stale, 0)
+    if state._frontier_count is not None:
+        state._frontier_count += n_stale
+    return {"wave": wave, "evicted": n_stale}
+
+
 def crawl(
     spark: SparkSession,
     state_dir: str,

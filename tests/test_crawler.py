@@ -479,3 +479,71 @@ def test_wave_parity_sharded_probe_mode(spark, crawl_state, tmp_path):
     assert fa.count() == fb.count()
     assert fa.join(fb, "url_canon", "left_anti").count() == 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("filt", ["bloom", "cuckoo"])
+def test_recrawl_stale_evicts_and_refetches(spark, tmp_path, filt):
+    """Freshness recrawl (reference: stale work list + freshness upsert):
+    URLs first enqueued <= cutoff leave the seen set (append compaction +
+    filter eviction — cuckoo deletes in place, Bloom rebuilds), re-enter
+    the frontier at recrawl priority, are re-fetched by the next wave
+    under the same budgets, and re-enter seen with a fresh first_wave.
+    Seen-set uniqueness and frontier/seen disjointness hold throughout."""
+    from findopendata_spark.crawler import recrawl_stale
+    from findopendata_spark.crawler.wave import CrawlState, init_state, run_wave
+    from findopendata_spark.catalog import SnapshotCatalog
+
+    cfg = CrawlConfig(per_host_wave_budget=10, seen_filter=filt)
+    d = str(tmp_path / f"recrawl_{filt}")
+    state = crawl(spark, d, waves=2, cfg=cfg, gcfg=GCFG)
+    cat = state.cat
+
+    seen_before = {
+        r["url_canon"]: r["first_wave"]
+        for r in cat.read_appended(spark, "seen").collect()
+    }
+    frontier_before = {
+        r["url_canon"] for r in cat.read(spark, "frontier").collect()
+    }
+    # age cutoff 1: everything first enqueued at wave <= 1 and not still
+    # pending in the frontier must be evicted
+    expect_evicted = {
+        u for u, w in seen_before.items()
+        if w <= 2 - 1 - 0 and u not in frontier_before
+    }
+    stats = recrawl_stale(spark, state, max_age_waves=0)
+    assert stats["wave"] == 3
+    assert stats["evicted"] == len(expect_evicted) > 0
+
+    seen_mid = {
+        r["url_canon"]: r["first_wave"]
+        for r in cat.read_appended(spark, "seen").collect()
+    }
+    assert set(seen_mid) == set(seen_before) - expect_evicted
+    front_mid = cat.read(spark, "frontier")
+    re_rows = front_mid.filter(F.col("priority") == 2.0)
+    assert {r["url_canon"] for r in re_rows.collect()} == expect_evicted
+    # no duplicate frontier rows
+    assert front_mid.count() == front_mid.select("url_canon").distinct().count()
+
+    # next wave re-fetches: recrawled URLs re-enter seen, fresh wave id
+    run_wave(spark, state, 4)
+    seen_after = {
+        r["url_canon"]: r["first_wave"]
+        for r in cat.read_appended(spark, "seen").collect()
+    }
+    refetched = {
+        u for u, w in seen_after.items() if u in expect_evicted and w == 4
+    }
+    assert refetched  # at least some stale URLs were re-enqueued as new
+    # uniqueness: one row per url in the seen table
+    seen_df = cat.read_appended(spark, "seen")
+    assert seen_df.count() == seen_df.select("url_canon").distinct().count()
+
+    # resume from disk sees the compaction (append_base survives commit)
+    state2 = CrawlState(SnapshotCatalog(d), cfg, GCFG)
+    init_state(spark, state2)
+    assert {
+        r["url_canon"]: r["first_wave"]
+        for r in state2.cat.read_appended(spark, "seen").collect()
+    } == seen_after

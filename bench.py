@@ -204,8 +204,9 @@ def _cluster_conf(master: str | None) -> dict[str, str]:
         _sys.path.pop(0)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     zip_path = os.path.join(shm, "findopendata_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
-        package_pyfiles.build(zip_path)
+    # rebuild unconditionally (cheap): a stale cached zip would ship
+    # outdated package code to the executor JVMs after source edits
+    package_pyfiles.build(zip_path)
     return {
         "spark.executor.memory": f"{int(mem) - 512}m",
         "spark.driver.memory": "8g",

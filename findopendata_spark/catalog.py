@@ -222,7 +222,22 @@ class SnapshotCatalog:
         ):
             return None
         upto = self.current_wave() if upto is None else upto
-        floor = int(self._read_pointer().get("append_base", {}).get(table, 0))
+        # Time-travel floor (ADVICE r03): a compaction at wave c raises
+        # append_base — but a read at upto < c must see the PRE-compaction
+        # dirs (they are kept on disk for exactly this). The floor in
+        # effect at `upto` is the one recorded in that wave's log entry,
+        # not the current pointer's.
+        pointer = self._read_pointer()
+        if upto != int(pointer["wave"]):
+            log = os.path.join(self.root, "_waves", f"wave-{upto:06d}.json")
+            try:
+                with open(log) as f:
+                    pointer = json.load(f)
+            except FileNotFoundError:
+                # pre-log store or uncommitted wave id: no compaction can
+                # have been published at/before it without a log, so no floor
+                pointer = {}
+        floor = int(pointer.get("append_base", {}).get(table, 0))
         df = spark.read.option("basePath", base).parquet(base)
         return df.filter((F.col("wave") >= floor) & (F.col("wave") <= upto))
 

@@ -50,6 +50,10 @@ def main() -> None:
         "done": True,
         "last_wave": state.cat.current_wave(),
         "wall_s": round(time.time() - t0, 2),
+        # which master actually ran: under spark-submit this must be the
+        # launcher's --master (session.get_spark skips .master() when it
+        # detects the launcher env), not a local[cores] override
+        "master": spark.sparkContext.master,
     }))
 
 

@@ -68,6 +68,9 @@ class CrawlState:
     cat: SnapshotCatalog
     cfg: CrawlConfig = field(default_factory=CrawlConfig)
     gcfg: G.GraphConfig = field(default_factory=G.GraphConfig)
+    # injectable fetch backend (None = deterministic synthetic pages);
+    # see findopendata_spark.crawler.fetch for the adapter contract
+    fetch_adapter: object | None = None
     # driver-side incremental seen-filter cache (rebuilt from tables on
     # resume): sharded Bloom or cuckoo per cfg.seen_filter
     _seen_filter: ShardedSeenFilter | None = None
@@ -123,39 +126,46 @@ def _is_blocked_expr():
     )
 
 
-def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False):
+def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False,
+                   adapter=None):
     import pyarrow as pa
 
+    from findopendata_spark.crawler.fetch import SyntheticFetchAdapter
+
+    ad = adapter if adapter is not None else SyntheticFetchAdapter(gcfg)
+
     def fetch(tbl: "pa.Table") -> "pa.Table":
-        """Synthetic fetch of one (host, salt) group — numpy + Arrow only.
+        """Fetch one (host, salt) group through the injected adapter
+        (default: deterministic synthetic pages; a requests-backed
+        ``HttpFetchAdapter`` is one constructor argument away — see
+        :mod:`findopendata_spark.crawler.fetch`).
 
         Emits ONE nested row per input URL: the doc's spans in offset
-        order as a ListArray built directly over the flat numpy span
-        columns (zero-copy assembly, no per-doc Python loop). Permanent
-        fetch failures (deterministic bounded-retry model,
-        :func:`G.fetch_failure_mask`) get ``failed=true`` and an empty
-        span list; run_wave routes those to lineage accounting (the
-        reference swallows-and-logs, ``ckan_crawler.py:186-202``)."""
+        order as a ListArray built directly over the flat span columns
+        (zero-copy assembly, no per-doc Python loop). Permanent fetch
+        failures (bounded retry, part of the adapter contract) get
+        ``failed=true`` and an empty span list; run_wave routes those to
+        lineage accounting (the reference swallows-and-logs,
+        ``ckan_crawler.py:186-202``)."""
         h = tbl.column("url_hash").to_numpy().astype(np.int64).view(np.uint64)
         n = len(h)
-        failed = G.fetch_failure_mask(h, gcfg)
-        ok = np.nonzero(~failed)[0]
-        doc_idx, kind, text, media_ref, offset = G.synth_fetch_pandas(
-            pd.Series(h[ok]), pd.Series(tbl.column("depth").to_numpy()[ok]),
-            gcfg,
+        res = ad.fetch_batch(
+            tbl.column("url_canon"), h, tbl.column("depth").to_numpy()
         )
-        # spans-per-doc counts in row order: synth_fetch's doc_idx is
-        # nondecreasing, failed rows contribute zero-length slices
-        counts = np.zeros(n, dtype=np.int64)
-        if len(ok):
-            counts[ok] = np.bincount(doc_idx, minlength=len(ok))
+        # spans-per-doc counts in row order: doc_idx is full-batch indexed
+        # and nondecreasing per contract; failed rows have no spans
+        counts = (
+            np.bincount(res.doc_idx, minlength=n)
+            if len(res.doc_idx)
+            else np.zeros(n, dtype=np.int64)
+        )
         offsets = np.concatenate(([0], np.cumsum(counts)))
         struct = pa.StructArray.from_arrays(
             [
-                pa.array(kind, type=pa.string()),
-                pa.array(text, type=pa.string()),
-                pa.array(media_ref, type=pa.string()),
-                pa.array(offset, type=pa.int32()),
+                pa.array(res.kind, type=pa.string()),
+                pa.array(res.text, type=pa.string()),
+                pa.array(res.media_ref, type=pa.string()),
+                pa.array(res.offset, type=pa.int32()),
             ],
             names=["kind", "text", "media_ref", "offset"],
         )
@@ -168,16 +178,19 @@ def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False):
             tbl.column("host"),
             tbl.column("depth"),
             pa.array(doc_ids, type=pa.string()),
-            pa.array(failed),
+            pa.array(res.failed),
             spans,
         ]
         names = ["url_canon", "host", "depth", "doc_id", "failed", "spans"]
         if with_rich:
             # doc-level parent richness; the link scorer reads it off the
             # exploded link rows — no per-doc aggregation or join
-            rich = G.page_richness(h, gcfg)
-            rich[failed] = 0.0
-            cols.append(pa.array(rich))
+            if res.rich is None:
+                raise ValueError(
+                    "priority_mode='richness' needs an adapter that "
+                    "provides rich scores"
+                )
+            cols.append(pa.array(res.rich))
             names.append("rich")
         return pa.Table.from_arrays(cols, names=names)
 
@@ -341,7 +354,8 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             )
             .groupBy("host", "salt")
             .applyInArrow(
-                _make_fetch_fn(gcfg, with_rich=rich_mode),
+                _make_fetch_fn(gcfg, with_rich=rich_mode,
+                               adapter=state.fetch_adapter),
                 FETCH_DOC_SCHEMA_RICH if rich_mode else FETCH_DOC_SCHEMA,
             )
         )
@@ -349,8 +363,10 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         _mark("fetch_ckpt")
         # permanent fetch failures carry failed=true + empty spans: they
         # feed lineage accounting only — never the docs table or links.
-        # With failures disabled the split is skipped (identical plan).
-        if gcfg.fail_ppt > 0:
+        # With failures impossible (synthetic adapter, fail_ppt=0) the
+        # split is skipped (identical plan); any INJECTED adapter can
+        # fail regardless of the synthetic failure knob.
+        if gcfg.fail_ppt > 0 or state.fetch_adapter is not None:
             failed_fetches = fetched.filter(F.col("failed")).select(
                 "url_canon", "host"
             )
@@ -538,31 +554,39 @@ def recrawl_stale(
     spark: SparkSession, state: CrawlState, max_age_waves: int,
     recrawl_priority: float = 2.0,
 ) -> dict:
-    """Freshness-driven recrawl: evict stale URLs from the seen set and
-    re-enqueue them — committed as its own wave.
+    """Freshness-driven recrawl: re-enqueue stale URLs — committed as its
+    own wave — WITHOUT ever removing them from the seen set.
 
     The reference recrawls by re-harvesting endpoints and letting the
     freshness-conditioned upsert decide what changed
     (``ckan_crawler.py:161-171``, ``generate_metadata.py:18-94``'s stale
     work list). Here staleness is explicit: every seen row carries the
-    wave that first enqueued it (``first_wave``); rows with
-    ``first_wave <= current - max_age_waves``
+    wave that last enqueued it (``first_wave``); rows with
+    ``first_wave <= current - max_age_waves`` and not currently pending
 
-    1. leave the seen set via an append-table COMPACTION (the survivors
-       are rewritten as this wave's single append dir and the catalog's
-       ``append_base`` makes older dirs invisible atomically with the
-       commit — Iceberg's rewrite-manifests move);
-    2. are deleted from the cuckoo seen filter executor-side
-       (``ShardedSeenFilter.delete_delta`` — the eviction op the cuckoo
-       family exists for; Bloom mode forces a rebuild from the
-       compacted table instead);
-    3. re-enter the frontier at ``recrawl_priority`` (> any 1/(depth+1)
-       child score, so refreshes front-run discovery) with depth 0.
+    1. re-enter the frontier at ``recrawl_priority`` (> any 1/(depth+1)
+       child score, so refreshes front-run discovery) with depth 0;
+    2. have their seen-row wave stamp REFRESHED to this wave via an
+       append-table COMPACTION (all rows rewritten as this wave's single
+       append dir; the catalog's ``append_base`` makes older dirs
+       invisible atomically with the commit — Iceberg's
+       rewrite-manifests move).
+
+    Crucially the URLs REMAIN seen-set members throughout (ADVICE r03):
+    ``run_wave``'s dedup relies on the invariant that every pending
+    frontier URL is in seen — evicting re-enqueued URLs let a link that
+    rediscovered one before its re-fetch pass dedup and duplicate the
+    frontier row (double fetch, double politeness spend), and re-entry
+    into seen depended on later rediscovery (one guaranteed redundant
+    fetch each). Refresh-at-enqueue matches run_wave's own stamp rule
+    (new URLs record their enqueue wave, not their fetch wave), so the
+    next staleness scan measures from the re-enqueue. No seen-filter
+    mutation is needed at all — membership is unchanged — which also
+    keeps Bloom mode rebuild-free.
 
     The next ordinary wave then re-fetches them subject to the same
-    politeness budgets, and they re-enter the seen set with a fresh
-    ``first_wave`` — the conservation and uniqueness invariants the
-    crawler tests pin continue to hold.
+    budgets; the conservation and uniqueness invariants the crawler
+    tests pin hold throughout.
     """
     cat = state.cat
     wave = cat.current_wave() + 1
@@ -579,9 +603,12 @@ def recrawl_stale(
     )
     stale = stale.localCheckpoint()  # read before the compaction overwrites
     n_stale = stale.count()
-    fresh = seen.join(
+    kept = seen.join(
         stale.select("url_canon"), "url_canon", "left_anti"
     ).select("url_canon", "url_hash", "first_wave")
+    refreshed = stale.select(
+        "url_canon", "url_hash", F.lit(wave).alias("first_wave")
+    )
     re_rows = stale.select(
         "url_canon",
         F.lit(0).alias("depth"),
@@ -590,15 +617,13 @@ def recrawl_stale(
     )
     cat.prepare_snap("frontier", wave)
     snap = cat.stage(frontier.unionByName(re_rows), "frontier", wave)
-    cat.stage_append(fresh, "seen", wave)
+    cat.stage_append(kept.unionByName(refreshed), "seen", wave)
     cat.commit_wave(wave, {"frontier": snap}, append_base={"seen": wave})
 
-    if state._seen_filter is not None:
-        state._seen_filter.delete_delta(spark, stale.select("url_hash"))
-    state._seen_count = max(state._seen_count - n_stale, 0)
+    # seen-set membership unchanged: the driver filter and count stay valid
     if state._frontier_count is not None:
         state._frontier_count += n_stale
-    return {"wave": wave, "evicted": n_stale}
+    return {"wave": wave, "recrawled": n_stale, "evicted": n_stale}
 
 
 def crawl(
@@ -609,10 +634,15 @@ def crawl(
     gcfg: G.GraphConfig | None = None,
     log=None,
     bulk_seeds: int = 0,
+    fetch_adapter=None,
 ) -> CrawlState:
-    """Driver wave loop with exact resume from the last committed wave."""
+    """Driver wave loop with exact resume from the last committed wave.
+
+    ``fetch_adapter`` swaps the fetch backend (None = synthetic pages);
+    see :mod:`findopendata_spark.crawler.fetch`."""
     state = CrawlState(
-        SnapshotCatalog(state_dir), cfg or CrawlConfig(), gcfg or G.GraphConfig()
+        SnapshotCatalog(state_dir), cfg or CrawlConfig(), gcfg or G.GraphConfig(),
+        fetch_adapter=fetch_adapter,
     )
     init_state(spark, state, bulk_seeds=bulk_seeds)
     start = state.cat.current_wave() + 1

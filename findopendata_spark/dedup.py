@@ -398,6 +398,7 @@ def simhash_near_dup_pairs(
     sig_bits: int = 60,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with Hamming(simhash_a, simhash_b) <= max_hamming,
     via band-of-bits candidate buckets — the missing half of the SimHash
@@ -413,7 +414,17 @@ def simhash_near_dup_pairs(
 
     Scale shape: candidates come from an equi-join on (band_idx,
     band_value) — the only shuffle; verify is one ``bit_count(xor)`` per
-    candidate pair. Never O(n^2).
+    candidate pair. Never O(n^2) — with one caveat: boilerplate-heavy or
+    near-empty corpora collapse many docs onto the SAME signature (all
+    zero/low-token docs share simhash 0), rebuilding an O(bucket^2) join
+    inside every band. ``bucket_cap``, when set, drops band buckets
+    holding more than that many docs (same windowed-count guard as
+    :func:`near_dup_pairs`). Setting it trades recall for cost: a pair
+    colliding ONLY in capped buckets is lost, so the pigeonhole
+    exactness guarantee holds only for pairs whose >= 1 colliding band
+    is under the cap. Callers should also drop docs with an empty token
+    multiset before :func:`simhash64` (their signature is 0 and the
+    Hamming metric is meaningless for them) — q49 does.
     """
     if max_hamming >= n_bands:
         raise ValueError(
@@ -432,6 +443,11 @@ def simhash_near_dup_pairs(
         F.col(id_col), F.col(sig_col),
         F.posexplode(bands_arr).alias("band_idx", "band_val"),
     )
+    if bucket_cap is not None:
+        wcnt = Window.partitionBy("band_idx", "band_val")
+        bands = bands.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(wcnt)
+        ).filter(F.col("bucket_n") <= bucket_cap).drop("bucket_n")
     left = bands.select(
         "band_idx", "band_val",
         F.col(id_col).alias("a"), F.col(sig_col).alias("sig_a"),

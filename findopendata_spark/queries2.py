@@ -94,8 +94,13 @@ _SKETCH_STORE: dict[str, tuple] = {}
 
 
 def _sketch_store(spark: SparkSession, sf_dir: str):
-    if sf_dir in _SKETCH_STORE:
-        return _SKETCH_STORE[sf_dir]
+    # key on the live application too: cached DataFrames die with their
+    # SparkSession, and a stop()+recreate in the same process must not
+    # hand back plans bound to the dead JVM (ADVICE r03). applicationId
+    # is unique per SparkContext (unlike id(), which GC can recycle).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SKETCH_STORE:
+        return _SKETCH_STORE[key]
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         F.col("source").alias("file_id"),
@@ -109,7 +114,7 @@ def _sketch_store(spark: SparkSession, sf_dir: str):
     records = base.unionByName(probe).cache()
     sk = sketch_columns(records, SketchConfig(), n_salts=4).cache()
     sk.count()  # materialize the store once
-    _SKETCH_STORE[sf_dir] = (records, sk)
+    _SKETCH_STORE[key] = (records, sk)
     return records, sk
 
 
@@ -122,22 +127,22 @@ def q17_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     become an IN-list filter over cached postings + one hash-agg —
     exact |g ∩ q| per doc, NO per-query corpus scan and no cross join
     (the r02 plan re-trigrammed and intersected every document per
-    query). Output byte-identical to the full scan."""
+    query; the r03 plan still left-joined the corpus-wide sizes table
+    into every probe — now zero-jaccard fillers are fetched only when
+    fewer than k docs share a gram). Output byte-identical to the full
+    scan."""
     from findopendata_spark.sketch.trigram_index import (
         trigram_index,
-        trigram_similarity_scores,
+        trigram_topk,
     )
 
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     idx = trigram_index(spark, sf_dir, "text")
     q_doc_id, q_grams = idx["query_row"]
-    scored = trigram_similarity_scores(idx, q_doc_id, q_grams)
+    top = trigram_topk(idx, q_doc_id, q_grams, k=10, round_digits=6)
     return (
-        scored.select(
-            "doc_id", F.round("jaccard", 6).alias("trigram_jaccard")
-        )
+        top.select("doc_id", F.col("jaccard").alias("trigram_jaccard"))
         .orderBy(F.desc("trigram_jaccard"), F.asc("doc_id"))
-        .limit(10)
     )
 
 

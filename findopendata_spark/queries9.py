@@ -29,9 +29,16 @@ def q49_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs — while the engine only joins band buckets."""
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     docs = load(spark, sf_dir, "documents")
+    # Skew guard 1: drop zero-token docs BEFORE signing — they all share
+    # simhash 0 and would rebuild an O(n^2) bucket in every band (the
+    # oracle drops them too: unnest of an empty token list yields no
+    # rows). Guard 2, for adversarial/boilerplate corpora, is the
+    # bucket_cap knob on simhash_near_dup_pairs (left unset here so the
+    # pigeonhole-exact result matches the O(n^2) oracle scan;
+    # tests/test_modules.py exercises it on a 10k-identical-doc corpus).
     hashes = docs.select(
         "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
-    )
+    ).filter(F.size("hashes") > 0)
     sigs = simhash64(hashes)
     return simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4)
 

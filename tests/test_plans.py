@@ -95,6 +95,13 @@ def test_q17_q41_probe_cached_index_no_corpus_scan(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "InMemoryTableScan" in plan, name  # cached postings/sizes
+    # VERDICT r03 item 6: probe cost bounded by posting lengths — sizes
+    # joins INNER against the (small) matched set; the old corpus-wide
+    # "fill jaccard-0 docs just in case" LeftOuter from the full sizes
+    # table must be gone (fillers are fetched via a separate anti-join
+    # ONLY when matches < k). q41 keeps one LeftOuter, but between the
+    # two MATCHED score sets (title-match cardinality), not the corpus.
+    assert "LeftOuter" not in plan_of(spark, "q17_trigram_similarity")
 
 
 def test_q18_no_positional_array_materialization(spark):

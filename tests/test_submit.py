@@ -88,6 +88,10 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
     ]
     assert done and done[-1]["done"] is True
     assert done[-1]["last_wave"] == 2
+    # the launcher's --master must win: get_spark must not override it
+    # with local[cores] (ADVICE r03: the old SparkConf() probe was a
+    # no-op and spark-submit --master local[3] silently ran local[N])
+    assert done[-1]["master"] == "local[2]"
     # the committed state is a real catalog: pointer + lineage rows exist
     with open(os.path.join(state_dir, "_current.json")) as f:
         ptr = json.load(f)

@@ -1,0 +1,256 @@
+"""Incremental index maintenance — per-wave delta updates for the three
+persisted index families (VERDICT r03 item 4).
+
+The reference maintains its indexes by per-wave upserts as harvests land
+(``/root/reference/findopendata/indexing.py:119-168``: each run sketches
+the new/changed files and upserts ``column_sketches`` rows). The engine's
+r03 caches (trigram postings, IVF assignments, q16's sketch store) were
+build-once session state with a "persisted Iceberg table appended per
+wave" story but no actual incremental path. This module IS that path,
+on the same :class:`findopendata_spark.catalog.SnapshotCatalog` the
+crawler commits through — every append is an atomic wave commit, so
+index state resumes exactly like crawl state.
+
+Three indexes, three delta rules:
+
+- **trigram postings** (pg_trgm GIN analog): new docs append their
+  ``(gram, doc_id)`` postings and ``(doc_id, n_grams)`` sizes as this
+  wave's append dirs — O(delta) work, no rewrite. Probes read the
+  union of committed waves; since doc_ids are append-only the union IS
+  the full-rebuild index.
+- **IVF assignments**: the coarse quantizer is trained ONCE on the
+  build corpus and then frozen (the standard IVF append path — FAISS
+  ``add`` after ``train``); new vectors are assigned to the existing
+  centroids and appended. Assignment is per-vector work against a
+  broadcast centroid table — O(delta). A quantizer re-train is a
+  rebuild by definition (documented, not hidden).
+- **column sketches**: each wave appends the new records' sketch rows
+  WITH mergeable state (count sums, elementwise-min MinHash,
+  elementwise-max HLL registers, first-N distinct sample, raw
+  word-vector sum/count); the served sketch merges the per-wave rows
+  per (file_id, column_name) — exactly the reference's
+  ``ColumnSketch.update`` fold, replayed associatively. Derived fields
+  (distinct_count rule, is_numeric rule, hll_estimate,
+  word_vector_data) are recomputed from merged state, so the merged
+  row is BIT-IDENTICAL to a full rebuild for every integer/sample/
+  sketch field (pinned by pytest); ``word_vector_data`` alone matches
+  to float-addition associativity (the salt-group partial sums land in
+  a different order than a single-pass build — ~1e-12 relative).
+
+Arrival-order note: the sketch sample's "first N distinct in arrival
+order" extends across waves as (wave asc, ingest_key asc) — appends are
+arrivals. A value dropped from one wave's N-sized sample has >= N
+distinct predecessors in that wave alone, so it can never enter the
+global first-N: per-wave samples concatenated in wave order, deduped
+keep-first, truncated to N are exactly the full-rebuild sample.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from findopendata_spark.catalog import SnapshotCatalog
+from findopendata_spark.config import SketchConfig
+from findopendata_spark.sketch.hll import hll_count
+
+
+class IncrementalIndexes:
+    """Catalog-backed maintenance facade for the three index families.
+
+    Each ``*_append`` stages this wave's delta dirs and commits one wave
+    (callers integrating with the crawler can instead stage into the
+    crawl wave's own commit — the table names are plain catalog
+    tables)."""
+
+    def __init__(self, cat: SnapshotCatalog):
+        self.cat = cat
+
+    def _commit_append(self, staged_tables: dict | None = None) -> int:
+        wave = self.cat.current_wave() + 1
+        self.cat.commit_wave(wave, staged_tables or {})
+        return wave
+
+    # -- trigram postings --------------------------------------------------
+    def trigram_append(
+        self, spark: SparkSession, docs: DataFrame, field: str = "text"
+    ) -> int:
+        """Append new docs' postings + sizes as one committed wave.
+
+        ``docs`` must contain only doc_ids never indexed before
+        (append-only contract; a changed doc is a delete+insert at the
+        catalog level, same as Iceberg row-level deletes)."""
+        from findopendata_spark.sketch.trigram_index import _field_grams
+
+        grams = _field_grams(docs, field)
+        wave = self.cat.current_wave() + 1
+        self.cat.stage_append(
+            grams.select("doc_id", F.explode("g").alias("gram")),
+            f"trigram_postings_{field}", wave,
+        )
+        self.cat.stage_append(
+            grams.select("doc_id", F.size("g").alias("n_grams")),
+            f"trigram_sizes_{field}", wave,
+        )
+        self.cat.commit_wave(wave, {})
+        return wave
+
+    def trigram_index(self, spark: SparkSession, field: str = "text") -> dict:
+        """Probe-ready index dict over ALL committed waves — the same
+        shape :func:`findopendata_spark.sketch.trigram_index.trigram_topk`
+        probes (postings/sizes DataFrames)."""
+        postings = self.cat.read_appended(
+            spark, f"trigram_postings_{field}"
+        ).drop("wave")
+        sizes = self.cat.read_appended(
+            spark, f"trigram_sizes_{field}"
+        ).drop("wave")
+        return {"postings": postings, "sizes": sizes}
+
+    # -- IVF ---------------------------------------------------------------
+    def ivf_build(
+        self, spark: SparkSession, emb: DataFrame,
+        n_cells: int = 8, n_iter: int = 2,
+    ) -> int:
+        """Train the coarse quantizer on the build corpus, persist
+        centroids (snapshot table) + initial assignments (append)."""
+        from findopendata_spark.embedding import assign_cells, train_ivf_centroids
+
+        cents = train_ivf_centroids(emb, n_cells=n_cells, n_iter=n_iter)
+        wave = self.cat.current_wave() + 1
+        snap = self.cat.stage(cents, "ivf_centroids", wave)
+        self.cat.stage_append(
+            assign_cells(emb, cents).withColumnRenamed("_cell", "cell"),
+            "ivf_assignments", wave,
+        )
+        self.cat.commit_wave(wave, {"ivf_centroids": snap})
+        return wave
+
+    def ivf_append(self, spark: SparkSession, new_emb: DataFrame) -> int:
+        """Assign NEW vectors to the frozen centroids; append — O(delta)."""
+        from findopendata_spark.embedding import assign_cells
+
+        cents = self.cat.read(spark, "ivf_centroids")
+        if cents is None:
+            raise ValueError("ivf_build must run before ivf_append")
+        wave = self.cat.current_wave() + 1
+        self.cat.stage_append(
+            assign_cells(new_emb, cents).withColumnRenamed("_cell", "cell"),
+            "ivf_assignments", wave,
+        )
+        self.cat.commit_wave(wave, {})
+        return wave
+
+    def ivf_index(self, spark: SparkSession) -> dict:
+        """{"centroids", "assigned"} over all committed waves — the shape
+        :func:`findopendata_spark.embedding.ivf_topk` takes."""
+        return {
+            "centroids": self.cat.read(spark, "ivf_centroids"),
+            "assigned": self.cat.read_appended(spark, "ivf_assignments")
+            .drop("wave").withColumnRenamed("cell", "_cell"),
+        }
+
+    # -- column sketches ---------------------------------------------------
+    def sketch_append(
+        self, spark: SparkSession, records: DataFrame,
+        cfg: SketchConfig | None = None, n_salts: int = 16,
+    ) -> int:
+        """Sketch this wave's NEW records and append the mergeable rows."""
+        from findopendata_spark.sketch.column_sketch import sketch_columns
+
+        cfg = cfg or SketchConfig()
+        rows = sketch_columns(records, cfg, n_salts, keep_merge_state=True)
+        wave = self.cat.current_wave() + 1
+        self.cat.stage_append(rows, "column_sketches", wave)
+        self.cat.commit_wave(wave, {})
+        return wave
+
+    def sketch_read(
+        self, spark: SparkSession, cfg: SketchConfig | None = None
+    ) -> DataFrame:
+        """Merged sketch per (file_id, column_name) over all waves —
+        bit-identical to sketch_columns on the concatenated records."""
+        rows = self.cat.read_appended(spark, "column_sketches")
+        return merge_sketch_rows(rows, cfg or SketchConfig())
+
+
+def merge_sketch_rows(rows: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """Combine per-wave sketch rows (from ``sketch_columns(...,
+    keep_merge_state=True)`` + a ``wave`` column) into the exact sketch
+    of the union of their inputs.
+
+    One ``applyInPandas`` over (file_id, column_name) groups — each group
+    holds one row per wave, so group size = wave count, never data-sized.
+    All folds are the associative halves of the reference's per-record
+    update loop (``column_sketch.py:166-197``): sums for counters,
+    elementwise min for MinHash, elementwise max for HLL registers,
+    order-preserving first-N dedup for the sample, vector-sum + count for
+    word vectors; the value-dependent derived fields are then re-derived
+    by the same rules ``sketch_columns`` applies."""
+    schema = (
+        "file_id string, column_name string, count long, empty_count long, "
+        "out_of_vocabulary_count long, numeric_count long, "
+        "is_numeric boolean, distinct_count long, sample array<string>, "
+        "word_vector_column_name array<double>, "
+        "word_vector_data array<double>, minhash array<long>, seed long, "
+        "hyperloglog array<long>"
+    )
+    sample_n = cfg.column_sample_size
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("wave")
+        count = int(pdf["count"].sum())
+        empty = int(pdf["empty_count"].sum())
+        numeric = int(pdf["numeric_count"].sum())
+        oov = int(pdf["out_of_vocabulary_count"].sum())
+        mh_rows = [np.asarray(v, np.uint64) for v in pdf["minhash"] if v is not None]
+        mh = np.minimum.reduce(mh_rows).astype(np.int64) if mh_rows else None
+        hl_rows = [np.asarray(v, np.int64) for v in pdf["hyperloglog"] if v is not None]
+        hl = np.maximum.reduce(hl_rows) if hl_rows else None
+        est = hll_count(hl) if hl is not None else None
+        sample: list[str] = []
+        seen: set[str] = set()
+        for s in pdf["sample"]:
+            for v in s:
+                if v not in seen:
+                    seen.add(v)
+                    sample.append(v)
+                if len(sample) >= sample_n:
+                    break
+            if len(sample) >= sample_n:
+                break
+        if len(sample) < sample_n:
+            distinct = len(sample)
+        else:
+            distinct = max(len(sample), int(round(est)) if est is not None else 0)
+        nonempty = count - empty
+        is_num = False if nonempty == 0 else numeric >= 0.5 * nonempty
+        n_in = int(pdf["wv_n_in"].sum())
+        sv_rows = [np.asarray(v, np.float64) for v in pdf["wv_sum_vec"] if v is not None]
+        wv = (
+            (np.sum(sv_rows, axis=0) / n_in).tolist()
+            if sv_rows and n_in > 0
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "file_id": [pdf["file_id"].iloc[0]],
+                "column_name": [pdf["column_name"].iloc[0]],
+                "count": [count],
+                "empty_count": [empty],
+                "out_of_vocabulary_count": [oov],
+                "numeric_count": [numeric],
+                "is_numeric": [is_num],
+                "distinct_count": [distinct],
+                "sample": [sample],
+                "word_vector_column_name": [pdf["word_vector_column_name"].iloc[0]],
+                "word_vector_data": [wv],
+                "minhash": [mh],
+                "seed": [int(pdf["seed"].iloc[0])],
+                "hyperloglog": [hl],
+            }
+        )
+
+    return rows.groupBy("file_id", "column_name").applyInPandas(fn, schema)

@@ -166,9 +166,16 @@ def sketch_columns(
     records: DataFrame,
     cfg: SketchConfig | None = None,
     n_salts: int = 16,
+    keep_merge_state: bool = False,
 ) -> DataFrame:
     """records(file_id, column_name, ingest_key, val) → one sketch row per
-    (file_id, column_name), reference-rule semantics throughout."""
+    (file_id, column_name), reference-rule semantics throughout.
+
+    ``keep_merge_state`` additionally emits the raw mergeable word-vector
+    accumulators (``wv_n_in``, ``wv_sum_vec``) so per-wave sketch rows can
+    be combined EXACTLY by :func:`findopendata_spark.indexing.merge_sketch_rows`
+    (``word_vector_data`` alone loses the sum/count split to float
+    division, which would break bit-parity with a full rebuild)."""
     cfg = cfg or SketchConfig()
 
     # 1. normalize + flags + hashes, all JVM-side
@@ -294,12 +301,17 @@ def sketch_columns(
                 "out_of_vocabulary_count",
                 F.coalesce("out_of_vocabulary_count", F.lit(0)).cast("long"),
             )
+            .withColumn("wv_n_in", F.coalesce("_n_in", F.lit(0)).cast("long"))
+            .withColumn("wv_sum_vec", F.col("_sum_vec"))
             .drop("_n_in", "_sum_vec")
         )
     else:
-        out = out.withColumn(
-            "word_vector_data", F.lit(None).cast("array<double>")
-        ).withColumn("out_of_vocabulary_count", F.lit(0).cast("long"))
+        out = (
+            out.withColumn("word_vector_data", F.lit(None).cast("array<double>"))
+            .withColumn("out_of_vocabulary_count", F.lit(0).cast("long"))
+            .withColumn("wv_n_in", F.lit(0).cast("long"))
+            .withColumn("wv_sum_vec", F.lit(None).cast("array<double>"))
+        )
 
     return out.select(
         "file_id",
@@ -316,6 +328,7 @@ def sketch_columns(
         "minhash",
         "seed",
         "hyperloglog",
+        *((["wv_n_in", "wv_sum_vec"]) if keep_merge_state else []),
     )
 
 

@@ -1,0 +1,160 @@
+"""Incremental index maintenance (VERDICT r03 item 4): append new docs →
+delta-update postings / IVF assignments / column sketches through the
+snapshot catalog, and the probed result equals a full rebuild.
+Reference analog: per-wave upserts, ``indexing.py:119-168``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from findopendata_spark.catalog import SnapshotCatalog
+from findopendata_spark.config import SketchConfig
+from findopendata_spark.indexing import IncrementalIndexes
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_trigram_incremental_equals_rebuild(spark, docs, tmp_path):
+    """Build postings on the first half of the corpus, append the second
+    half as a new wave; the probed top-k equals the session-cache index
+    built over the whole corpus in one shot."""
+    from findopendata_spark.sketch.trigram_index import (
+        _field_grams,
+        trigram_topk,
+    )
+
+    idx = IncrementalIndexes(SnapshotCatalog(str(tmp_path / "cat")))
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    w1 = idx.trigram_append(spark, docs.filter(F.col("doc_id") <= half))
+    w2 = idx.trigram_append(spark, docs.filter(F.col("doc_id") > half))
+    assert (w1, w2) == (0, 1)
+
+    full_grams = _field_grams(docs, "text")
+    full = {
+        "postings": full_grams.select("doc_id", F.explode("g").alias("gram")),
+        "sizes": full_grams.select("doc_id", F.size("g").alias("n_grams")),
+    }
+    qrow = full_grams.orderBy("doc_id").limit(1).collect()[0]
+    q_id, q_g = qrow["doc_id"], list(qrow["g"])
+
+    inc = idx.trigram_index(spark, "text")
+    got = {
+        (r["doc_id"], r["jaccard"])
+        for r in trigram_topk(inc, q_id, q_g, k=10, round_digits=6).collect()
+    }
+    want = {
+        (r["doc_id"], r["jaccard"])
+        for r in trigram_topk(full, q_id, q_g, k=10, round_digits=6).collect()
+    }
+    assert got == want and len(got) == 10
+    # and the raw index contents agree (postings as a set, sizes exactly)
+    assert (
+        inc["postings"].join(full["postings"], ["doc_id", "gram"], "left_anti")
+        .count() == 0
+    )
+    assert inc["postings"].count() == full["postings"].count()
+    assert inc["sizes"].count() == full["sizes"].count()
+
+
+def test_ivf_incremental_assignments_equal_rebuild(spark, tmp_path):
+    """Quantizer trained on the build corpus, frozen; appended vectors'
+    assignments equal assigning the full corpus against the same
+    centroids, and the persisted-index probe equals the in-memory one."""
+    from findopendata_spark.embedding import assign_cells, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    half = emb.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+    base, delta = emb.filter(F.col("vec_id") <= half), emb.filter(
+        F.col("vec_id") > half
+    )
+    idx = IncrementalIndexes(SnapshotCatalog(str(tmp_path / "cat")))
+    idx.ivf_build(spark, base, n_cells=8, n_iter=2)
+    idx.ivf_append(spark, delta)
+
+    persisted = idx.ivf_index(spark)
+    cents = persisted["centroids"]
+    want = assign_cells(emb, cents)
+    got = persisted["assigned"]
+    assert got.count() == emb.count() == want.count()
+    assert (
+        got.select("vec_id", "_cell")
+        .exceptAll(want.select("vec_id", "_cell"))
+        .count() == 0
+    )
+    # probe parity through the persisted index
+    query = emb.orderBy("vec_id").limit(1)
+    a = ivf_topk(emb, query, k=5, n_probe=2, centroids=cents,
+                 assigned=persisted["assigned"]).collect()
+    b = ivf_topk(emb, query, k=5, n_probe=2, centroids=cents,
+                 assigned=want).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in a] == [
+        (r["vec_id"], r["cos_sim"]) for r in b
+    ]
+
+
+def test_sketch_incremental_merge_equals_rebuild(spark, docs, tmp_path):
+    """Per-wave sketch rows merged per (file_id, column_name) equal the
+    one-shot sketch of the concatenated records: every integer, sample,
+    minhash and HLL field bit-identical; word_vector_data to float
+    associativity."""
+    from findopendata_spark.sketch.column_sketch import sketch_columns
+
+    cfg = SketchConfig(enable_word_vector_data=True, column_sample_size=10)
+    rec = docs.selectExpr(
+        "doc_id as ingest_key",
+        "stack(3, 'lang', lang, 'mod7', cast(doc_id % 7 as string), "
+        "'words', substring(text, 1, 30)) as (column_name, val)",
+    ).withColumn("file_id", F.lit("documents"))
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+
+    idx = IncrementalIndexes(SnapshotCatalog(str(tmp_path / "cat")))
+    # wave order must match ingest arrival order (lower keys first)
+    idx.sketch_append(spark, rec.filter(F.col("ingest_key") <= half), cfg)
+    idx.sketch_append(spark, rec.filter(F.col("ingest_key") > half), cfg)
+
+    merged = {r["column_name"]: r for r in idx.sketch_read(spark, cfg).collect()}
+    full = {
+        r["column_name"]: r
+        for r in sketch_columns(rec, cfg, n_salts=4).collect()
+    }
+    assert set(merged) == set(full) == {"lang", "mod7", "words"}
+    exact_fields = [
+        "file_id", "count", "empty_count", "out_of_vocabulary_count",
+        "numeric_count", "is_numeric", "distinct_count", "sample",
+        "minhash", "seed", "hyperloglog", "word_vector_column_name",
+    ]
+    for col, m in merged.items():
+        f = full[col]
+        for fld in exact_fields:
+            assert m[fld] == f[fld], (col, fld, m[fld], f[fld])
+        if f["word_vector_data"] is None:
+            assert m["word_vector_data"] is None, col
+        else:
+            assert np.allclose(
+                m["word_vector_data"], f["word_vector_data"], rtol=1e-9
+            ), col
+
+
+def test_sketch_incremental_resume_from_disk(spark, docs, tmp_path):
+    """A new IncrementalIndexes over the same catalog root (fresh
+    process analog) serves the identical merged sketch — index state is
+    table state, not session state."""
+    cfg = SketchConfig(column_sample_size=5)
+    rec = docs.selectExpr(
+        "doc_id as ingest_key", "'lang' as column_name", "lang as val"
+    ).withColumn("file_id", F.lit("documents"))
+    root = str(tmp_path / "cat")
+    idx = IncrementalIndexes(SnapshotCatalog(root))
+    idx.sketch_append(spark, rec, cfg)
+    a = idx.sketch_read(spark, cfg).collect()
+    b = IncrementalIndexes(SnapshotCatalog(root)).sketch_read(spark, cfg).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]

@@ -7,10 +7,15 @@ Prints ONE JSON line:
              "throughput_nhi": urls/s @ local[N_HI],
              "scaling_efficiency": thr_hi / ((N_HI/N_LO) * thr_lo), ...}}
 
-The crawl block evidences BASELINE.json's two-cluster-size rule in-sandbox:
-same synthetic frontier, identical input, two parallelism levels
-(local[N] vs local[4N]); throughput = (urls scheduled + deduped)/sec from
-lineage rows. Set SPARK_GRAFT_BENCH_CRAWL=0 to skip the crawl block.
+The crawl block evidences BASELINE.json's two-cluster-size rule in-sandbox.
+HEADLINE (r04+): the multi-JVM pair — the same large wave under
+local-cluster[1,c,mem] vs local-cluster[4,c,mem], i.e. N vs 4N separate
+executor JVMs with identical per-executor cores/heap (own GC, own python
+workers, package shipped via the --py-files zip) — the closest in-sandbox
+analog of "N and 4N executors". Secondary: the r03-comparable single-JVM
+local[N] vs local[4N] pair. Both carry a paired zero-coordination control.
+Throughput = (urls scheduled + deduped)/sec from lineage rows.
+Set SPARK_GRAFT_BENCH_CRAWL=0 to skip the crawl block.
 """
 
 from __future__ import annotations
@@ -341,15 +346,19 @@ def _subprocess_bench(fn_name: str, cores: int, **kwargs) -> dict:
 
 
 def _best_of_interleaved(
-    fn_name: str, lo_cores: int, hi_cores: int, runs: int, **kwargs
+    fn_name: str, lo_cores: int, hi_cores: int, runs: int,
+    lo_extra: dict | None = None, hi_extra: dict | None = None, **kwargs
 ) -> tuple[dict, dict, list[float], list[float]]:
     """Run lo,hi,lo,hi,... so a multi-minute interference episode on this
     shared host degrades BOTH legs instead of silently skewing the
-    efficiency ratio one way; best-of per leg."""
+    efficiency ratio one way; best-of per leg. ``lo_extra``/``hi_extra``
+    add per-leg kwargs (e.g. each leg's local-cluster master)."""
+    lo_kw = {**kwargs, **(lo_extra or {})}
+    hi_kw = {**kwargs, **(hi_extra or {})}
     lo_runs, hi_runs = [], []
     for _ in range(runs):
-        lo_runs.append(_subprocess_bench(fn_name, lo_cores, **kwargs))
-        hi_runs.append(_subprocess_bench(fn_name, hi_cores, **kwargs))
+        lo_runs.append(_subprocess_bench(fn_name, lo_cores, **lo_kw))
+        hi_runs.append(_subprocess_bench(fn_name, hi_cores, **hi_kw))
     key = lambda r: r["throughput_urls_per_s"]  # noqa: E731
     return (
         max(lo_runs, key=key),
@@ -386,34 +395,110 @@ def main() -> None:
                 / (ratio * lo_r["throughput_urls_per_s"]), 3
             )
 
-        # HEADLINE: the LARGE wave (4x seeds + politeness budget) at
-        # N_LO → N_HI. The north rule's scaling criterion describes
-        # 10^10-URL-frontier waves; the large wave is the closest
-        # in-sandbox shape, and it amortizes the fixed per-wave
-        # orchestration cost F that dominates any small wave by
-        # construction (BENCH/BASELINE.md quantifies F — at the 10^10
-        # target a wave is ~10^4x larger still, so F → noise). The small
-        # r01/r02-comparable wave is kept below as a secondary point.
+        # HEADLINE: the MULTI-JVM cluster pair (VERDICT r03 item 2) — the
+        # same large wave (4x seeds + politeness budget) under
+        # local-cluster[1,c,mem] vs local-cluster[4,c,mem]: N vs 4N
+        # separate EXECUTOR JVMs with identical per-executor cores and
+        # heap, each with its own GC and python workers, package shipped
+        # via the real --py-files zip. This is the in-sandbox analog of
+        # the north rule's "N and 4N executors" criterion — unlike the
+        # r01-r03 single-JVM local[N] pairs, adding executors here adds
+        # HEAPS, so allocator/GC contention (the measured single-JVM
+        # scaling limiter) scales out exactly as on a real cluster.
         seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
         probe_pre = host_scaling_probe(N_LO, N_HI)
-        llo, lhi, llo_all, lhi_all = _best_of_interleaved(
-            "bench_crawl", N_LO, N_HI, runs,
-            bulk_seeds=seeds, budget=120_000,
-        )
         crawl = {
-            "headline": "large_wave",
+            "headline": "multi_jvm_cluster",
             "host_probe": probe_pre,
             "parallelism_ratio": ratio,
             "bulk_seeds": seeds,
             "budget": 120_000,
-            "n_lo": llo,
-            "n_hi": lhi,
-            "all_runs_lo": llo_all,
-            "all_runs_hi": lhi_all,
-            "scaling_efficiency": _eff(llo, lhi),
         }
-        if os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1") != "0":
-            # secondary: the 700k-seed wave, directly comparable to r01/r02
+        if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
+            c = N_LO  # per-executor cores: constant across the pair
+            n_exec_hi = N_HI // c
+            mem = int(os.environ.get("SPARK_GRAFT_CLUSTER_MEM_MB", "16384"))
+            m_lo = f"local-cluster[1,{c},{mem}]"
+            m_hi = f"local-cluster[{n_exec_hi},{c},{mem}]"
+            klo, khi, klo_all, khi_all = _best_of_interleaved(
+                "bench_crawl", N_LO, N_HI, runs,
+                lo_extra={"master": m_lo}, hi_extra={"master": m_hi},
+                bulk_seeds=seeds, budget=120_000,
+            )
+            cluster = {
+                "master_lo": m_lo,
+                "master_hi": m_hi,
+                "executors_lo": 1,
+                "executors_hi": n_exec_hi,
+                "n_lo": klo,
+                "n_hi": khi,
+                "all_runs_lo": klo_all,
+                "all_runs_hi": khi_all,
+                "scaling_efficiency": _eff(klo, khi),
+            }
+            # paired multi-JVM control: zero-coordination ceiling under
+            # the SAME executor topology
+            if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
+                xlo, xhi, xlo_all, xhi_all = _best_of_interleaved(
+                    "bench_control", N_LO, N_HI, runs,
+                    lo_extra={"master": m_lo}, hi_extra={"master": m_hi},
+                )
+                xeff = xhi["throughput_urls_per_s"] / (
+                    ratio * xlo["throughput_urls_per_s"]
+                )
+                cluster["control"] = {
+                    "n_lo": xlo,
+                    "n_hi": xhi,
+                    "all_runs_lo": xlo_all,
+                    "all_runs_hi": xhi_all,
+                    "control_efficiency": round(xeff, 3),
+                }
+                cluster["efficiency_vs_control"] = round(
+                    cluster["scaling_efficiency"] / xeff, 3
+                )
+            crawl["cluster"] = cluster
+        # secondary: the r03-comparable single-JVM large-wave pair
+        # (local[4] vs local[16] inside ONE JVM — kept for round-over-
+        # round comparability; its known limiter is shared-heap
+        # allocator/GC contention, which the cluster pair removes)
+        if os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "1") != "0":
+            llo, lhi, llo_all, lhi_all = _best_of_interleaved(
+                "bench_crawl", N_LO, N_HI, runs,
+                bulk_seeds=seeds, budget=120_000,
+            )
+            single = {
+                "n_lo": llo,
+                "n_hi": lhi,
+                "all_runs_lo": llo_all,
+                "all_runs_hi": lhi_all,
+                "scaling_efficiency": _eff(llo, lhi),
+            }
+            if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
+                # Paired single-JVM control: the same per-URL instruction
+                # mix with zero coordination (one stage, no shuffle/
+                # window/join/commit). Its N→4N efficiency is this host's
+                # ceiling for ANY perfectly-parallel single-JVM run of
+                # this workload; efficiency_vs_control isolates the
+                # engine's own orchestration overhead from host physics.
+                clo, chi, clo_all, chi_all = _best_of_interleaved(
+                    "bench_control", N_LO, N_HI, runs
+                )
+                ceff = chi["throughput_urls_per_s"] / (
+                    ratio * clo["throughput_urls_per_s"]
+                )
+                single["control"] = {
+                    "n_lo": clo,
+                    "n_hi": chi,
+                    "all_runs_lo": clo_all,
+                    "all_runs_hi": chi_all,
+                    "control_efficiency": round(ceff, 3),
+                }
+                single["efficiency_vs_control"] = round(
+                    single["scaling_efficiency"] / ceff, 3
+                )
+            crawl["single_jvm"] = single
+        if os.environ.get("SPARK_GRAFT_BENCH_SMALL", "0") != "0":
+            # optional: the 700k-seed wave, directly comparable to r01/r02
             slo, shi, slo_all, shi_all = _best_of_interleaved(
                 "bench_crawl", N_LO, N_HI, runs
             )
@@ -424,36 +509,6 @@ def main() -> None:
                 "all_runs_hi": shi_all,
                 "scaling_efficiency": _eff(slo, shi),
             }
-        if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
-            # Paired control: the same per-URL instruction mix with zero
-            # coordination (one stage, no shuffle/window/join/commit).
-            # Its N→4N efficiency is this host's ceiling for ANY
-            # perfectly-parallel run of this workload (single shared
-            # memory bus + allocator — see BENCH/BASELINE.md);
-            # efficiency_vs_control isolates the engine's own
-            # orchestration overhead from host physics. One control pair
-            # serves both wave sizes (its throughput is per-URL work,
-            # independent of wave size).
-            clo, chi, clo_all, chi_all = _best_of_interleaved(
-                "bench_control", N_LO, N_HI, runs
-            )
-            ceff = chi["throughput_urls_per_s"] / (
-                ratio * clo["throughput_urls_per_s"]
-            )
-            crawl["control"] = {
-                "n_lo": clo,
-                "n_hi": chi,
-                "all_runs_lo": clo_all,
-                "all_runs_hi": chi_all,
-                "control_efficiency": round(ceff, 3),
-            }
-            crawl["efficiency_vs_control"] = round(
-                crawl["scaling_efficiency"] / ceff, 3
-            )
-            if "small_wave" in crawl:
-                crawl["small_wave"]["efficiency_vs_control"] = round(
-                    crawl["small_wave"]["scaling_efficiency"] / ceff, 3
-                )
         crawl["host_probe_post"] = host_scaling_probe(N_LO, N_HI)
         result["crawl"] = crawl
         # cooldown: sustained multi-core crawl legs trigger sandbox CPU

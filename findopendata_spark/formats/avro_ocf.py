@@ -3,10 +3,12 @@
 Implements the subset the reference writes and reads (S10/S14:
 ``storage/base.py put_avro``, ``parsers/avro.py avro2json``): records of
 null/boolean/int/long/float/double/string/bytes, nullable unions,
-arrays, and nested records; codecs ``null`` and ``deflate`` (the spec's
-raw-DEFLATE; the reference's snappy needs python-snappy, absent here —
-the codec is a per-file metadata field, so files interoperate with any
-Avro reader either way).
+arrays, and nested records; codecs ``null``, ``deflate`` (the spec's
+raw-DEFLATE) and ``snappy`` — the reference's default
+(``storage/base.py:77-90``) — via the deterministic pure-Python encoder
+in :mod:`findopendata_spark.formats.snappy_codec` (python-snappy, when
+installed, is used on the read side). The codec is a per-file metadata
+field, so files interoperate with any Avro reader either way.
 
 Wire format (Avro 1.11 spec §Object Container Files):
 ``Obj\\x01`` magic → metadata map (``avro.schema`` JSON,
@@ -185,8 +187,12 @@ def write_avro_blob(
 
     The sync marker is derived from the schema hash, so identical
     (schema, records, codec) inputs produce byte-identical files —
-    rerun-stable exports."""
-    if codec not in ("null", "deflate"):
+    rerun-stable exports. ``snappy`` (the reference's default codec,
+    ``storage/base.py:77-90``) always encodes with the deterministic
+    pure-Python encoder (:mod:`findopendata_spark.formats.snappy_codec`)
+    to keep that guarantee; per the Avro spec each snappy block carries a
+    4-byte big-endian CRC32 of the UNCOMPRESSED data."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec: {codec}")
     schema_json = json.dumps(schema)
     sync = hashlib.md5(schema_json.encode()).digest()
@@ -217,6 +223,12 @@ def write_avro_blob(
         data = block.getvalue()
         if codec == "deflate":  # spec: raw DEFLATE, no zlib header
             data = zlib.compress(data)[2:-4]
+        elif codec == "snappy":  # spec: snappy + BE CRC32 of raw data
+            from findopendata_spark.formats import snappy_codec
+
+            data = snappy_codec.compress(data) + struct.pack(
+                ">I", zlib.crc32(data) & 0xFFFFFFFF
+            )
         _write_long(out, n)
         _write_bytes(out, data)
         out.write(sync)
@@ -255,6 +267,18 @@ def read_avro_blob(data: bytes):
         block = _read_bytes(buf)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            crc = struct.unpack(">I", block[-4:])[0]
+            try:  # python-snappy if present (reads any valid stream)
+                import snappy as _pysnappy  # pragma: no cover
+
+                block = _pysnappy.decompress(block[:-4])
+            except ImportError:
+                from findopendata_spark.formats import snappy_codec
+
+                block = snappy_codec.decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("snappy block CRC mismatch")
         elif codec != "null":
             raise ValueError(f"unsupported codec: {codec}")
         bb = io.BytesIO(block)

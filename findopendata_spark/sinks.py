@@ -75,6 +75,12 @@ def write_avro(
     _write_avro_fallback(df, path, mode)
 
 
+def _is_local_uri(path: str) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("", "file")
+
+
 def _write_avro_fallback(df: DataFrame, path: str, mode: str) -> None:
     import os
     import shutil
@@ -83,29 +89,20 @@ def _write_avro_fallback(df: DataFrame, path: str, mode: str) -> None:
     from findopendata_spark.formats.avro_ocf import write_avro_blob
     from findopendata_spark.functions.avro_infer import _avro_type
 
+    if not _is_local_uri(path):
+        # cloud/aliased scheme: executors can't open python file handles
+        # on Hadoop URIs, so encode blobs executor-side and stream them
+        # through the driver's Hadoop FileSystem handle one partition at
+        # a time (bounded memory). With the spark-avro jar present (any
+        # real cluster) the native scheme-agnostic path above is taken
+        # instead — this keeps the OWN-codec fallback correct everywhere.
+        _write_avro_fallback_hadoop(df, path, mode)
+        return
     if mode == "overwrite" and os.path.isdir(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     schema = _avro_type(df.schema, "Root")
     cols = [f["name"] for f in schema["fields"]]
-
-    def _py(v):
-        import numpy as np
-        import pandas as pd
-
-        if v is None or (isinstance(v, float) and v != v):
-            return None
-        if isinstance(v, np.generic):
-            return v.item()
-        if isinstance(v, np.ndarray):
-            return [_py(x) for x in v.tolist()]
-        if isinstance(v, (list, tuple)):
-            return [_py(x) for x in v]
-        if isinstance(v, dict):
-            return {k: _py(x) for k, x in v.items()}
-        if isinstance(v, pd.Timestamp):
-            return v.isoformat()
-        return v
 
     def write_part(batches):
         import pandas as pd
@@ -113,7 +110,7 @@ def _write_avro_fallback(df: DataFrame, path: str, mode: str) -> None:
         recs = []
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                recs.append({c: _py(v) for c, v in zip(cols, row)})
+                recs.append({c: _py_value(v) for c, v in zip(cols, row)})
         if recs:
             blob = write_avro_blob(schema, recs)
             name = f"part-{uuid.uuid4().hex}.avro"
@@ -131,6 +128,64 @@ def _write_avro_fallback(df: DataFrame, path: str, mode: str) -> None:
             fh.write(write_avro_blob(schema, []))
 
 
+def _write_avro_fallback_hadoop(df: DataFrame, path: str, mode: str) -> None:
+    from findopendata_spark import fs
+    from findopendata_spark.formats.avro_ocf import write_avro_blob
+    from findopendata_spark.functions.avro_infer import _avro_type
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        fs.delete(spark, path)
+    fs.mkdirs(spark, path)
+    schema = _avro_type(df.schema, "Root")
+    cols = [f["name"] for f in schema["fields"]]
+    blob_col = _avro_part_blobs(df, schema, cols)
+    n_parts = 0
+    for i, row in enumerate(blob_col.toLocalIterator()):
+        fs.write_bytes(spark, f"{path}/part-{i:05d}.avro", bytes(row["blob"]))
+        n_parts += 1
+    if n_parts == 0:
+        fs.write_bytes(
+            spark, f"{path}/part-empty.avro", write_avro_blob(schema, [])
+        )
+
+
+def _avro_part_blobs(df: DataFrame, schema: dict, cols: list[str]):
+    """One OCF blob per non-empty partition, encoded executor-side."""
+    from findopendata_spark.formats.avro_ocf import write_avro_blob
+
+    def encode(batches):
+        import pandas as pd
+
+        recs = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                recs.append({c: _py_value(v) for c, v in zip(cols, row)})
+        if recs:
+            yield pd.DataFrame({"blob": [write_avro_blob(schema, recs)]})
+
+    return df.mapInPandas(encode, "blob binary")
+
+
+def _py_value(v):
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_py_value(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_py_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py_value(x) for k, x in v.items()}
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return v
+
+
 def read_avro(spark, path: str) -> DataFrame:
     """Avro source (S14). spark-avro when present, else a distributed
     decode: ``binaryFile`` scan → per-file OCF decode → JSON-normalized
@@ -141,18 +196,18 @@ def read_avro(spark, path: str) -> DataFrame:
         if not _is_missing_datasource(e):
             raise
     import base64
-    import glob
     import json as _json
-    import os
 
+    from findopendata_spark import fs
     from findopendata_spark.formats.avro_ocf import read_avro_blob
 
-    parts = sorted(glob.glob(os.path.join(path, "*.avro")))
+    # scheme-agnostic listing + schema peek via the Hadoop FS registry
+    # (works for file:, viewfs:, gs:, abfss:, s3a: alike)
+    parts = fs.list_files(spark, path, suffix=".avro")
     if not parts:
         raise FileNotFoundError(f"read_avro: no .avro files under {path}")
-    with open(parts[0], "rb") as fh:
-        schema, _ = read_avro_blob(fh.read())
-    files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
+    schema, _ = read_avro_blob(fs.read_bytes(spark, parts[0]))
+    files = spark.read.format("binaryFile").load(path.rstrip("/") + "/*.avro")
 
     def _b64(o):
         # bytes fields: base64 text in the JSON bridge — from_json's

@@ -44,12 +44,21 @@ def _sessionize_group(
             ["ts", "event_id"], kind="stable"
         )
         ts = ev["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
-        for t in ts:
-            if last_ts is None or (t - last_ts) > gap_s:
-                n_sessions += 1
-            last_ts = t
-            n_events += 1
-        state.update((float(last_ts), int(n_sessions), int(n_events)))
+        # vectorized gap detection (VERDICT r03 item 8 — the per-event
+        # Python loop was the one hot-path scalar loop left): a session
+        # starts at every event whose gap from its predecessor exceeds
+        # gap_s; the carried-in last_ts seeds the first gap (None =
+        # fresh user, whose first event always opens a session). Same
+        # numpy shape as the batch twin q21's running sum.
+        import numpy as np
+
+        prev = np.empty(len(ts))
+        prev[1:] = ts[:-1]
+        prev[0] = -np.inf if last_ts is None else last_ts
+        n_sessions += int((ts - prev > gap_s).sum())
+        n_events += len(ts)
+        last_ts = float(ts[-1])
+        state.update((last_ts, int(n_sessions), int(n_events)))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -66,21 +75,30 @@ def sessionize_stream(
     output_path: str,
     gap_s: float = 1800.0,
     schema: str = EVENTS_SCHEMA,
+    sink=None,
 ):
     """availableNow stateful sessionization; per-batch updates append to
     ``output_path`` parquet via foreachBatch (the memory sink cannot
     recover from a checkpoint; foreachBatch can — a resumed run
     continues from the state store). Read the totals back with
-    :func:`read_session_totals`. Returns the finished StreamingQuery."""
+    :func:`read_session_totals`. Returns the finished StreamingQuery.
+
+    ``sink`` overrides the default parquet-append foreachBatch body
+    (custom delivery, or fault injection in the kill/resume tests); a
+    sink that raises fails its batch BEFORE the commit log advances, so
+    the state-store version rolls back with it — resume replays the
+    exact same planned batch."""
     from pyspark.sql import functions as F
 
     def fn(key, pdfs, state):
         return _sessionize_group(key, pdfs, state, gap_s)
 
-    def sink(batch_df, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(output_path)
+    if sink is None:
+
+        def sink(batch_df, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(output_path)
 
     stream = (
         spark.readStream.schema(schema).parquet(source_path)

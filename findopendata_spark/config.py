@@ -52,6 +52,12 @@ class CrawlConfig:
     per_host_wave_budget: int = 50      # max URLs fetched per host per wave
     host_shards: int = 32               # bucket(K, host) partition count
     hot_host_salt: int = 8              # salt factor for skewed hosts
+    # salted pre-rank before the exact per-host top-k: "auto" skips the
+    # guard (one full frontier shuffle+sort) whenever frontier_count <=
+    # hot_host_salt * budget — no lane could meaningfully exceed the
+    # budget, so the pre-rank provably prunes ~nothing; "always"/"never"
+    # force it (the parity test runs both and compares)
+    two_phase_topk: str = "auto"        # "auto" | "always" | "never"
     bloom_bits_per_key: int = 10        # ~1% fpp
     bloom_num_hashes: int = 7
     bloom_shards: int = 16              # per-shard bitsets (10^10: ~1024)

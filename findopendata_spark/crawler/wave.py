@@ -91,6 +91,8 @@ def init_state(
     synthetic frontier (scale benchmarks; the 10^10-shape knob)."""
     cat, gcfg = state.cat, state.gcfg
     if cat.current_wave() >= 0:
+        if state._frontier_count is None:  # resume: footer-only count
+            state._frontier_count = cat.read(spark, "frontier").count()
         return
     robots = spark.createDataFrame(G.robots_rows(gcfg))
     base = (
@@ -117,6 +119,9 @@ def init_state(
     }
     cat.stage_append(seen0, "seen", 0)
     cat.commit_wave(0, staged)
+    # parquet-footer count of the committed snapshot (metadata-only scan):
+    # wave 1's adaptive top-k needs the frontier size up front
+    state._frontier_count = cat.read(spark, "frontier").count()
 
 
 def _is_blocked_expr():
@@ -266,17 +271,36 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     # Two-phase top-k: a salted partial rank bounds every sort task (the
     # hot host otherwise lands its whole frontier slice in ONE window
     # task), then the exact rank runs over <= salt*budget survivors/host.
-    # top-B(host) ⊆ ∪_salt top-B(host, salt), so this is exact.
+    # top-B(host) ⊆ ∪_salt top-B(host, salt), so this is exact — and the
+    # pre-phase is PURELY a skew/size guard: the exact window alone IS
+    # the specification. ADAPTIVE (r04): when the tracked frontier size
+    # says no (host, salt) lane can meaningfully exceed the budget
+    # (frontier_count <= salt * budget — even a host owning the whole
+    # frontier would hash-spread to ~budget-sized lanes, so the pre-rank
+    # prunes nothing), skip it and save a full frontier-wide
+    # shuffle+sort. Large politeness budgets hit this (the bench's
+    # bulk waves); the 10^10 production shape (small budget, huge
+    # frontier) keeps the guard on.
     budget = cfg.per_host_wave_budget
-    w_pre = Window.partitionBy("host", "_ssalt").orderBy(
-        F.desc("priority"), F.asc("url_canon")
+    fcount = state._frontier_count
+    mode = getattr(cfg, "two_phase_topk", "auto")
+    use_pre = mode == "always" or (
+        mode == "auto"
+        and (fcount is None or fcount > cfg.hot_host_salt * budget)
     )
-    ranked_pre = ready.withColumn(
-        "_ssalt", F.pmod(F.xxhash64("url_canon"), F.lit(cfg.hot_host_salt))
-    ).withColumn("rn", F.row_number().over(w_pre))
-    ranked_pre.cache()  # both the survivors and the leftovers are reused
-    pre = ranked_pre.filter(F.col("rn") <= budget).drop("rn", "_ssalt")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_canon"))
+    if use_pre:
+        w_pre = Window.partitionBy("host", "_ssalt").orderBy(
+            F.desc("priority"), F.asc("url_canon")
+        )
+        ranked_pre = ready.withColumn(
+            "_ssalt", F.pmod(F.xxhash64("url_canon"), F.lit(cfg.hot_host_salt))
+        ).withColumn("rn", F.row_number().over(w_pre))
+        ranked_pre.cache()  # both the survivors and the leftovers are reused
+        pre = ranked_pre.filter(F.col("rn") <= budget).drop("rn", "_ssalt")
+    else:
+        ranked_pre = None
+        pre = ready
     ranked = pre.withColumn("rn", F.row_number().over(w))
     ranked.cache()
     selected = (
@@ -324,9 +348,11 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                             "host_state", wave)
         # frontier leftovers — everything eligible but not selected, WITHOUT an
         # anti-join: the window rank already partitions ready exactly.
-        leftover = ranked_pre.filter(F.col("rn") > budget).select(*fr_cols).unionByName(
-            ranked.filter(F.col("rn") > budget).select(*fr_cols)
-        )
+        leftover = ranked.filter(F.col("rn") > budget).select(*fr_cols)
+        if ranked_pre is not None:
+            leftover = ranked_pre.filter(F.col("rn") > budget).select(
+                *fr_cols
+            ).unionByName(leftover)
         # next-frontier BASE = leftover ∪ not-ready: ~98% of the next
         # frontier is known the moment selection lands, so its (big)
         # write starts NOW and overlaps fetch + candidate compute; only
@@ -344,7 +370,10 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # candidate phase (GC pressure was the measured super-linear
         # term on large waves). `f` stays cached for the lineage scan.
         f_frontier_base.add_done_callback(
-            lambda _fut: (ranked_pre.unpersist(), ranked.unpersist())
+            lambda _fut: (
+                ranked_pre.unpersist() if ranked_pre is not None else None,
+                ranked.unpersist(),
+            )
         )
 
         # 3. fetch: salted (host, salt) groups → one NESTED row per doc

@@ -417,6 +417,45 @@ def test_fetch_failure_accounting_and_resume(spark, tmp_path):
     shutil.rmtree(d2, ignore_errors=True)
 
 
+def test_adaptive_topk_parity(spark, tmp_path):
+    """The salted pre-rank is purely a skew guard — the exact per-host
+    window IS the selection spec. With a budget large enough that
+    frontier_count <= salt * budget, 'auto' skips the guard (saving a
+    full frontier shuffle+sort); the crawl must be IDENTICAL to a run
+    with the guard forced on, and to one with it forced off."""
+    results = {}
+    for mode in ("always", "auto", "never"):
+        cfg = CrawlConfig(per_host_wave_budget=5000, hot_host_salt=8,
+                          two_phase_topk=mode)
+        d = str(tmp_path / f"topk_{mode}")
+        st = crawl(spark, d, waves=2, cfg=cfg, gcfg=GCFG)
+        seen = {
+            (r["url_canon"], r["first_wave"])
+            for r in st.cat.read_appended(spark, "seen").collect()
+        }
+        frontier = {
+            r["url_canon"] for r in st.cat.read(spark, "frontier").collect()
+        }
+        results[mode] = (seen, frontier)
+        shutil.rmtree(d, ignore_errors=True)
+    # seed frontier is small => budget*salt >= frontier => auto == never
+    assert results["auto"] == results["always"] == results["never"]
+    # and with a SMALL budget (pre-rank active and pruning), auto keeps
+    # the guard and still matches the forced-on run
+    small = {}
+    for mode in ("always", "auto"):
+        cfg = CrawlConfig(per_host_wave_budget=10, hot_host_salt=8,
+                          two_phase_topk=mode)
+        d = str(tmp_path / f"topk_small_{mode}")
+        st = crawl(spark, d, waves=2, cfg=cfg, gcfg=GCFG)
+        small[mode] = {
+            (r["url_canon"], r["first_wave"])
+            for r in st.cat.read_appended(spark, "seen").collect()
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    assert small["auto"] == small["always"]
+
+
 def test_fetch_adapter_seam_flaky_http(spark, tmp_path):
     """VERDICT r03 item 5: the fetch backend is an injectable adapter.
     A 2-wave crawl through HttpFetchAdapter with a deterministic flaky

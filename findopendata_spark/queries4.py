@@ -30,28 +30,47 @@ def q29_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical quantities, so the score is exact on both
     sides (round 4dp)."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    return bm25_rank(docs, _Q29_TERMS, limit=20)
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    limit: int = 20,
+) -> DataFrame:
+    """BM25-lite ranking kernel (shared by q29 and the serving layer):
+    one corpus aggregate for document frequencies, then a pure
+    column-expression score — no UDF, no second scan shuffle."""
+    terms = list(dict.fromkeys(terms))  # unique, order-preserving
+    if not terms:
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
+    toks = tokens(F.col(text_col))
+
     def _eq(term):
         return lambda x: x == F.lit(term)
 
-    tf = {t: F.size(F.filter(toks, _eq(t))) for t in _Q29_TERMS}
-    n_total = F.count(F.lit(1))
+    tf = {t: F.size(F.filter(toks, _eq(t))) for t in terms}
     stats = docs.agg(
-        n_total.alias("n"),
-        *[F.sum((tf[t] > 0).cast("long")).alias(f"df_{t}") for t in _Q29_TERMS],
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum((tf[t] > 0).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)],
     ).collect()[0]
     n = float(stats["n"])
     score = F.lit(0.0)
-    for t in _Q29_TERMS:
-        df_t = float(stats[f"df_{t}"])
+    for i, t in enumerate(terms):
+        df_t = float(stats[f"df_{i}"])
         idf = F.log(F.lit(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))
         sat = tf[t].cast("double") / (tf[t] + F.lit(1.2))
         score = score + sat * idf
     return (
-        docs.select("doc_id", F.round(score, 4).alias("score"))
+        docs.select(F.col(id_col), F.round(score, 4).alias("score"))
         .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
     )
 
 

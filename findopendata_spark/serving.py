@@ -1,0 +1,241 @@
+"""Read-only serving layer — the reference apiserver's query surface on
+Spark (reference routes: ``/root/reference/apiserver/main.py:271-477``).
+
+The reference serves Flask+psycopg2 over Postgres tables and a Go LSH
+sidecar. Here the same endpoints are one driver-resident SparkSession
+serving short jobs over SESSION-CACHED index structures — the Spark
+serving model (a Thrift-server/Livy-shaped deployment: at 100 TB the
+indexes are the persisted Iceberg tables `indexing.IncrementalIndexes`
+maintains, cached hot on a long-lived serving cluster; requests probe
+indexes, never scan the corpus):
+
+| reference route                     | engine kernel |
+|-------------------------------------|---------------|
+| ``/api/original-hosts``             | distinct sources (tiny agg) |
+| ``/api/keyword-search``             | BM25-lite (`queries4.bm25_rank`) |
+| ``/api/keyword-search-title``       | BM25-lite over the title slice |
+| ``/api/similar-packages``           | dual trigram posting-index probe |
+| ``/api/package/<id>``               | brief row lookup |
+| ``/api/joinable-column-search``     | LSH probe + exact verify |
+
+Zero new dependencies: ``http.server.ThreadingHTTPServer`` (stdlib).
+Spark is thread-safe through py4j, so handler threads submit jobs
+directly; the FAIR scheduler (session.py) keeps concurrent requests
+from convoying.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+class ApiServer:
+    """Serve the reference's API routes over warmed engine indexes.
+
+    ``port=0`` binds an ephemeral port (read it from ``.port`` after
+    :meth:`start`). ``warm()`` builds/caches the posting-list indexes
+    and the column-sketch store once — request latency is then probe
+    cost, not build cost.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, port: int = 0):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+        self._docs = None
+        self._t_idx = None
+        self._d_idx = None
+
+    # -- warm-up ----------------------------------------------------------
+    def warm(self) -> None:
+        from findopendata_spark.queries2 import _sketch_store
+        from findopendata_spark.sketch.trigram_index import trigram_index
+
+        self._docs = self.spark.read.parquet(
+            f"{self.sf_dir}/documents.parquet"
+        ).cache()
+        self._docs.count()
+        self._t_idx = trigram_index(self.spark, self.sf_dir, "title")
+        self._d_idx = trigram_index(self.spark, self.sf_dir, "description")
+        self._records, self._sketches = _sketch_store(self.spark, self.sf_dir)
+
+    # -- endpoint kernels (plain python -> list[dict]) --------------------
+    def original_hosts(self) -> list[str]:
+        rows = self._docs.select("source").distinct().orderBy("source").collect()
+        return [r["source"] for r in rows]
+
+    def keyword_search(self, query: str, limit: int = 50) -> list[dict]:
+        from findopendata_spark.queries4 import bm25_rank
+
+        terms = [t for t in query.lower().split() if t]
+        out = bm25_rank(self._docs, terms, limit=limit)
+        return [r.asDict() for r in out.collect()]
+
+    def keyword_search_title(self, query: str, limit: int = 10) -> list[dict]:
+        from findopendata_spark.queries4 import bm25_rank
+
+        terms = [t for t in query.lower().split() if t]
+        titles = self._docs.select(
+            "doc_id", F.substring("text", 1, 40).alias("title")
+        )
+        out = bm25_rank(titles, terms, text_col="title", limit=limit)
+        return [r.asDict() for r in out.collect()]
+
+    def similar_packages(self, doc_id: int, limit: int = 50) -> list[dict]:
+        """Dual (title, description) trigram ranking for an arbitrary
+        query doc — q41's kernel with the query row parameterized
+        (reference ``apiserver/main.py:173-207``)."""
+        from findopendata_spark.sketch.trigram_index import (
+            trigram_set_expr,
+            trigram_similarity_scores,
+        )
+
+        row = (
+            self._docs.filter(F.col("doc_id") == doc_id)
+            .filter(F.length("text") >= 80)
+            .select(
+                trigram_set_expr(F.substring("text", 1, 40)).alias("tg"),
+                trigram_set_expr(F.substring("text", 41, 200)).alias("dg"),
+            )
+            .collect()
+        )
+        if not row:
+            return []
+        q_tg, q_dg = list(row[0]["tg"]), list(row[0]["dg"])
+        ts = trigram_similarity_scores(self._t_idx, doc_id, q_tg).select(
+            "doc_id", F.round("jaccard", 6).alias("title_similarity")
+        )
+        ds = trigram_similarity_scores(self._d_idx, doc_id, q_dg).select(
+            "doc_id", F.round("jaccard", 6).alias("description_similarity")
+        )
+        out = (
+            ts.filter(F.col("title_similarity") > 0)
+            .join(ds, "doc_id", "left")
+            .withColumn(
+                "description_similarity",
+                F.coalesce("description_similarity", F.lit(0.0)),
+            )
+            .orderBy(
+                F.desc("title_similarity"),
+                F.desc("description_similarity"),
+                F.asc("doc_id"),
+            )
+            .limit(limit)
+        )
+        return [r.asDict() for r in out.collect()]
+
+    def package_brief(self, doc_id: int) -> dict | None:
+        rows = (
+            self._docs.filter(F.col("doc_id") == doc_id)
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                F.substring("text", 1, 40).alias("title"),
+                F.substring("text", 41, 200).alias("description"),
+                F.length("text").alias("n_chars"),
+            )
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def joinable_column_search(
+        self, file_id: str, column_name: str, threshold: float = 0.1,
+        limit: int = 10,
+    ) -> list[dict]:
+        from findopendata_spark.sketch.lsh import joinable_column_search_exact
+
+        qf = self._sketches.filter(
+            (F.col("file_id") == file_id)
+            & (F.col("column_name") == column_name)
+        )
+        out = joinable_column_search_exact(
+            qf, self._sketches, self._records, threshold=threshold, k=limit
+        )
+        return [r.asDict() for r in out.collect()]
+
+    # -- http plumbing ----------------------------------------------------
+    def _dispatch(self, path: str, q: dict) -> tuple[int, object]:
+        def one(name, default=None):
+            v = q.get(name, [default])
+            return v[0] if v else default
+
+        if path == "/api/original-hosts":
+            return 200, {"original_hosts": self.original_hosts()}
+        if path == "/api/keyword-search":
+            return 200, {
+                "results": self.keyword_search(
+                    one("q", ""), int(one("limit", "50"))
+                )
+            }
+        if path == "/api/keyword-search-title":
+            return 200, {
+                "results": self.keyword_search_title(
+                    one("q", ""), int(one("limit", "10"))
+                )
+            }
+        if path == "/api/similar-packages":
+            return 200, {
+                "results": self.similar_packages(
+                    int(one("id", "-1")), int(one("limit", "50"))
+                )
+            }
+        if path.startswith("/api/package/"):
+            brief = self.package_brief(int(path.rsplit("/", 1)[1]))
+            if brief is None:
+                return 404, {"error": "package not found"}
+            return 200, brief
+        if path == "/api/joinable-column-search":
+            return 200, {
+                "results": self.joinable_column_search(
+                    one("file_id", ""),
+                    one("column_name", ""),
+                    float(one("threshold", "0.1")),
+                    int(one("limit", "10")),
+                )
+            }
+        return 404, {"error": f"no route: {path}"}
+
+    def start(self) -> int:
+        if self._docs is None:
+            self.warm()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
+                u = urlparse(self.path)
+                try:
+                    code, body = server._dispatch(u.path, parse_qs(u.query))
+                except Exception as e:  # noqa: BLE001
+                    code, body = 500, {"error": str(e)[:500]}
+                data = json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

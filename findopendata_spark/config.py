@@ -58,6 +58,11 @@ class CrawlConfig:
     # budget, so the pre-rank provably prunes ~nothing; "always"/"never"
     # force it (the parity test runs both and compares)
     two_phase_topk: str = "auto"        # "auto" | "always" | "never"
+    # per-wave index maintenance: trigram postings/sizes for these doc
+    # fields are appended INSIDE each wave's atomic commit (reference
+    # analog: per-harvest sketch upserts, indexing.py:119-168); probe
+    # via indexing.IncrementalIndexes.trigram_index
+    index_fields: tuple = ()            # e.g. ("text",)
     bloom_bits_per_key: int = 10        # ~1% fpp
     bloom_num_hashes: int = 7
     bloom_shards: int = 16              # per-shard bitsets (10^10: ~1024)

@@ -409,6 +409,40 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         docs = okdocs.select("doc_id", "url_canon", "host", "spans")
         f_docs = ex.submit(_timed, "docs", cat.stage_append, docs, "docs", wave)
 
+        # 4b. per-wave index maintenance (reference analog: per-harvest
+        # sketch upserts, indexing.py:119-168): when cfg.index_fields is
+        # set, this wave's new docs append their trigram postings/sizes
+        # INSIDE the same atomic commit — the "index tables appended per
+        # crawl wave" story executed, probe-able any time via
+        # IncrementalIndexes.trigram_index. Flat text = the doc's text
+        # spans joined in offset order (spans arrive offset-sorted from
+        # the fetch UDF, so no sort is needed).
+        f_index: list = []
+        for field in getattr(cfg, "index_fields", ()) or ():
+            from findopendata_spark.sketch.trigram_index import _field_grams
+
+            flat = docs.select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.filter("spans", lambda s: s["kind"] == "text"),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            grams = _field_grams(flat, field)
+            f_index.append(ex.submit(
+                _timed, f"index_{field}", cat.stage_append,
+                grams.select("doc_id", F.explode("g").alias("gram")),
+                f"trigram_postings_{field}", wave,
+            ))
+            f_index.append(ex.submit(
+                _timed, f"index_sizes_{field}", cat.stage_append,
+                grams.select("doc_id", F.size("g").alias("n_grams")),
+                f"trigram_sizes_{field}", wave,
+            ))
+
         # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
         #    reference checks before download: ckan_crawler.py:161-176).
         # Exploding only the link spans is a narrow op over the nested
@@ -527,6 +561,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         futs = [
             f_docs,
             f_frontier_base,
+            *f_index,
             ex.submit(_timed, "seen", cat.stage_append, new_seen, "seen", wave),
             ex.submit(_timed, "lineage", cat.stage_append, lineage, "lineage",
                       wave),

@@ -144,6 +144,63 @@ def test_sketch_incremental_merge_equals_rebuild(spark, docs, tmp_path):
             ), col
 
 
+def test_crawl_wave_index_maintenance(spark, tmp_path):
+    """cfg.index_fields wires per-wave trigram maintenance INTO the
+    crawl's atomic commit: after a 3-wave crawl the committed postings
+    union equals a batch build over the full docs table, and a probe
+    through the persisted index equals the batch-index probe."""
+    from findopendata_spark.config import CrawlConfig
+    from findopendata_spark.crawler import crawl
+    from findopendata_spark.crawler import graph as G
+    from findopendata_spark.sketch.trigram_index import (
+        _field_grams,
+        trigram_topk,
+    )
+
+    cfg = CrawlConfig(per_host_wave_budget=10, index_fields=("text",))
+    d = str(tmp_path / "crawl_idx")
+    st = crawl(spark, d, waves=3, cfg=cfg, gcfg=G.GraphConfig(graph_size=500))
+
+    docs = st.cat.read_appended(spark, "docs")
+    flat = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    grams = _field_grams(flat, "text")
+    batch = {
+        "postings": grams.select("doc_id", F.explode("g").alias("gram")),
+        "sizes": grams.select("doc_id", F.size("g").alias("n_grams")),
+    }
+    inc = IncrementalIndexes(st.cat).trigram_index(spark, "text")
+    assert inc["postings"].count() == batch["postings"].count() > 0
+    assert (
+        inc["postings"].join(batch["postings"], ["doc_id", "gram"], "left_anti")
+        .count() == 0
+    )
+    assert inc["sizes"].count() == batch["sizes"].count()
+
+    qrow = grams.orderBy("doc_id").limit(1).collect()[0]
+    got = {
+        (r["doc_id"], r["jaccard"])
+        for r in trigram_topk(
+            inc, qrow["doc_id"], list(qrow["g"]), k=5, round_digits=6
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["jaccard"])
+        for r in trigram_topk(
+            batch, qrow["doc_id"], list(qrow["g"]), k=5, round_digits=6
+        ).collect()
+    }
+    assert got == want and len(got) == 5
+
+
 def test_sketch_incremental_resume_from_disk(spark, docs, tmp_path):
     """A new IncrementalIndexes over the same catalog root (fresh
     process analog) serves the identical merged sketch — index state is

@@ -154,26 +154,34 @@ def bench_crawl(
         spark.stop()
 
 
-def host_scaling_probe(lo: int, hi: int) -> dict:
+def host_scaling_probe(lo: int, hi: int, kind: str = "int") -> dict:
     """~15 s pure-python multiprocessing probe: how much extra CPU does
     this host actually grant from `lo` to `hi` workers RIGHT NOW?
 
-    No Spark, no allocation pressure — just integer loops. Its lo→hi
-    efficiency is the hard ceiling the sandbox imposes on ANY workload
-    during this bench run; recording it per-run lets a reader separate
-    engine scaling from host throttling (measured on this host: the
-    probe swings 0.27–0.84 between sessions hours apart)."""
+    Two variants, no Spark in either:
+    - ``int``: register-bound integer loops — pure scheduler/CPU grant.
+    - ``str``: string synthesis + hashing (the crawl's instruction
+      class) — adds allocator + DRAM-bandwidth demand. The two
+      efficiencies BRACKET any workload on this host: when ``int``
+      holds ~1.0 while ``str`` caps at ~0.5–0.7, the gap is memory-
+      subsystem saturation, not scheduling — the residual no engine
+      (and no zero-coordination job) can scale past. Recording both
+      per-run lets a reader attribute the crawl's raw ratio precisely
+      (probes swing 0.27–0.98 between windows on this host)."""
     import multiprocessing as mp
 
+    burn = _burn if kind == "int" else _burn_str
+    n = 3_000_000 if kind == "int" else 300_000
+
     def _thr(procs: int) -> float:
-        n = 3_000_000
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(_burn, [n] * procs * 4)
+            p.map(burn, [n] * procs * 4)
             return procs * 4 * n / (time.time() - t0)
 
     t_lo, t_hi = _thr(lo), _thr(hi)
     return {
+        "kind": kind,
         "lo_workers": lo,
         "hi_workers": hi,
         "mops_lo": round(t_lo / 1e6, 1),
@@ -186,6 +194,15 @@ def _burn(n: int) -> int:
     s = 0
     for i in range(n):
         s += i * i
+    return s
+
+
+def _burn_str(n: int) -> int:
+    # the crawl's instruction class: format + concat + hash per "URL"
+    s = 0
+    for i in range(n):
+        u = f"https://data-{i & 1023}.example.net/d/{i:012d}?b=2&a=1"
+        s ^= hash(u.lower())
     return s
 
 
@@ -407,9 +424,11 @@ def main() -> None:
         # scaling limiter) scales out exactly as on a real cluster.
         seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
         probe_pre = host_scaling_probe(N_LO, N_HI)
+        probe_str = host_scaling_probe(N_LO, N_HI, kind="str")
         crawl = {
             "headline": "multi_jvm_cluster",
             "host_probe": probe_pre,
+            "host_probe_str": probe_str,
             "parallelism_ratio": ratio,
             "bulk_seeds": seeds,
             "budget": 120_000,
@@ -510,6 +529,9 @@ def main() -> None:
                 "scaling_efficiency": _eff(slo, shi),
             }
         crawl["host_probe_post"] = host_scaling_probe(N_LO, N_HI)
+        crawl["host_probe_str_post"] = host_scaling_probe(
+            N_LO, N_HI, kind="str"
+        )
         result["crawl"] = crawl
         # cooldown: sustained multi-core crawl legs trigger sandbox CPU
         # throttling that decays over minutes; without it the queries

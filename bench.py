@@ -98,6 +98,11 @@ def bench_crawl(
         # shared-host disk; the crawl state dir lives there too
         "spark.local.dir": os.path.join(shm, "spark-local"),
     }
+    if "SPARK_GRAFT_LOCALITY_WAIT" in os.environ:
+        # multi-JVM A/B knob: delay-scheduling waits stall wide stages
+        # that read another executor's checkpointed blocks; loopback
+        # transfer is cheaper than waiting for this bandwidth-bound shape
+        conf["spark.locality.wait"] = os.environ["SPARK_GRAFT_LOCALITY_WAIT"]
     conf.update(_cluster_conf(master))
     if bulk_seeds >= 1_500_000 and "SPARK_GRAFT_JVM_OPTS" not in os.environ:
         # GC by live-set size (A/B'd same-host, quiet windows): the

@@ -224,7 +224,9 @@ def merge_sketch_rows(rows: DataFrame, cfg: SketchConfig) -> DataFrame:
         if len(sample) < sample_n:
             distinct = len(sample)
         else:
-            distinct = max(len(sample), int(round(est)) if est is not None else 0)
+            # HALF_UP like Spark's round() — python round() is banker's
+            est_l = int(np.floor(est + 0.5)) if est is not None else 0
+            distinct = max(len(sample), est_l)
         nonempty = count - empty
         is_num = False if nonempty == 0 else numeric >= 0.5 * nonempty
         n_in = int(pdf["wv_n_in"].sum())

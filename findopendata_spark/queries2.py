@@ -228,10 +228,17 @@ QUERIES2 = {
     "q16_joinable_column_search": q16_joinable_column_search,
     "q17_trigram_similarity": q17_trigram_similarity,
     "q18_winnow_fingerprint": q18_winnow_fingerprint,
-    "q19_ann_ivf": q19_ann_ivf,
     "q20_media_manifest": q20_media_manifest,
     "q21_sessionize": q21_sessionize,
 }
+
+# q19_ann_ivf is DEPRECATED from the registered surface (r05): it and
+# q46_ann_ivf_search exercise the same trained-IVF quantizer + assignment
+# table, and q46 is the stricter probe (true nearest-neighbor search, not
+# per-cell stats). Kept here with its oracle so the local parity test
+# still pins it (tests/test_oracle_parity.py parametrizes DEPRECATED2).
+DEPRECATED2: dict[str, object] = {"q19_ann_ivf": q19_ann_ivf}
+DEPRECATED_ORACLE2: dict[str, str | None] = {"q19_ann_ivf": None}
 
 ORACLE_SQL2: dict[str, str | None] = {
     "q14_column_sketch_counters": """
@@ -331,7 +338,6 @@ ORACLE_SQL2: dict[str, str | None] = {
     # Same rolling polynomial (base 257 mod 2^31-1 over codepoints) as
     # dedup.rolling_min_fingerprint, unrolled as iterated-mod BIGINT math.
     "q18_winnow_fingerprint": None,  # filled below (generated expression)
-    "q19_ann_ivf": None,  # filled below (trained-quantizer CTE, shared)
     "q20_media_manifest": """
         SELECT doc_id,
                CASE WHEN source = 'web' THEN 'image'
@@ -383,7 +389,7 @@ ORACLE_SQL2["q18_winnow_fingerprint"] = f"""
 # same 2 Lloyd's iterations with 9dp-rounded means), then per-cell stats.
 from findopendata_spark.embedding import ivf_oracle_with as _ivf_with  # noqa: E402
 
-ORACLE_SQL2["q19_ann_ivf"] = f"""
+DEPRECATED_ORACLE2["q19_ann_ivf"] = f"""
     WITH {_ivf_with()}
     SELECT a.cell AS c_id, CAST(count(*) AS BIGINT) AS n_members,
            round(avg(list_dot_product(a.v, c.c) /

@@ -39,9 +39,14 @@ def get_spark(
     # PythonRunner, PYSPARK_SUBMIT_ARGS via the pyspark shell): in that
     # case skip .master() entirely unless the caller forced one. Plain
     # `python x.py` runs default to local[cores].
+    # PYSPARK_SUBMIT_ARGS alone is NOT proof of a launcher: findspark /
+    # conda activation scripts export PYSPARK_SUBMIT_ARGS='pyspark-shell'
+    # with no --master, and treating that as launcher-managed would make
+    # plain `python script.py` die with "A master URL must be set"
+    # (ADVICE r04). Only honor it when it actually carries --master.
     launcher_managed = master is None and (
         "PYSPARK_GATEWAY_PORT" in os.environ
-        or "PYSPARK_SUBMIT_ARGS" in os.environ
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     )
     builder = SparkSession.builder.appName(app_name)
     if not launcher_managed:

@@ -33,8 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# session-lifetime index cache: (sf_dir, field) -> dict of cached DFs
-_CACHE: dict[tuple[str, str], dict] = {}
+# session-lifetime index cache: (applicationId, sf_dir, field) -> dict of
+# cached DFs. Keyed on the live application (like queries2._SKETCH_STORE):
+# cached DataFrames die with their SparkSession, and a stop()+recreate in
+# the same process must not hand back plans bound to the dead JVM
+# (ADVICE r04). applicationId is unique per SparkContext.
+_CACHE: dict[tuple[str, str, str], dict] = {}
 
 
 def trigram_set_expr(col):
@@ -74,7 +78,7 @@ def trigram_index(spark: SparkSession, sf_dir: str, field: str) -> dict:
     Returns {"postings": DF(gram, doc_id), "sizes": DF(doc_id, n_grams),
     "query_row": (q_doc_id, q_grams) for the lowest-doc_id document}.
     """
-    key = (sf_dir, field)
+    key = (spark.sparkContext.applicationId, sf_dir, field)
     if key in _CACHE:
         return _CACHE[key]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -45,13 +45,18 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-QUERY_NAMES = sorted(entry_mod.queries().keys())
+from findopendata_spark.queries import (  # noqa: E402
+    DEPRECATED_ORACLE,
+    DEPRECATED_QUERIES,
+)
+
+QUERY_NAMES = sorted(entry_mod.queries().keys()) + sorted(DEPRECATED_QUERIES)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql().get(name)
+    q = entry_mod.queries().get(name) or DEPRECATED_QUERIES[name]
+    oracle = entry_mod.oracle_sql().get(name) or DEPRECATED_ORACLE.get(name)
     sdf = q(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)

@@ -63,6 +63,19 @@ class CrawlConfig:
     # analog: per-harvest sketch upserts, indexing.py:119-168); probe
     # via indexing.IncrementalIndexes.trigram_index
     index_fields: tuple = ()            # e.g. ("text",)
+    # r05: the other two index families in the SAME atomic wave commit
+    # (reference analog: one harvest run upserts all metadata/sketch
+    # tables, indexing.py:59-192). index_ivf maintains `ivf_centroids`
+    # (trained once on the first indexed wave, then frozen — FAISS
+    # train-then-add) + `ivf_assignments` (re-fetched docs re-assign;
+    # probes resolve latest-wave-wins). index_sketch appends mergeable
+    # `column_sketches` rows for docs never sketched before (file_id =
+    # host, column = canonical URL; a changed doc's sketch refresh is a
+    # compaction, since merged counter state cannot subtract).
+    index_ivf: bool = False
+    index_ivf_dim: int = 16             # hashing-trick embedding width
+    index_ivf_cells: int = 8
+    index_sketch: bool = False
     bloom_bits_per_key: int = 10        # ~1% fpp
     bloom_num_hashes: int = 7
     bloom_shards: int = 16              # per-shard bitsets (10^10: ~1024)

@@ -132,7 +132,7 @@ def build_bloom_shards(
     """One Bloom bitset per shard of ``seen_df.url_hash``."""
     from pyspark.sql import functions as F
 
-    def fn(key, pdf):  # untyped: mixed hints trip pyspark eval-type inference
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         h = pdf["url_hash"].to_numpy(np.int64).view(np.uint64)
         bools = np.zeros(m_bits_shard, dtype=bool)
         bools[_positions(h, m_bits_shard, k).ravel()] = True

@@ -230,7 +230,7 @@ def _build_cuckoo_shards(
     drop as a build failure (a dropped key is a false negative)."""
     from pyspark.sql import functions as F
 
-    def fn(key, pdf):  # untyped: mixed hints trip pyspark eval-type inference
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cf = CK.CuckooFilter.__new__(CK.CuckooFilter)
         cf.n_buckets = n_buckets
         cf.table = np.zeros((n_buckets, CK.BUCKET_SLOTS), dtype=np.uint16)
@@ -270,7 +270,7 @@ def _insert_cuckoo_shards(
     (new shards, dropped-key count)."""
     from pyspark.sql import functions as F
 
-    def fn(key, pdf):  # untyped: mixed hints trip pyspark eval-type inference
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         cf = CK.CuckooFilter.from_bytes(shards_bc.value[sid], n_buckets)
         inserted = cf.insert_batch(pdf["url_hash"].to_numpy(np.int64))
@@ -304,7 +304,7 @@ def _delete_cuckoo_shards(
     of :func:`_insert_cuckoo_shards`)."""
     from pyspark.sql import functions as F
 
-    def fn(key, pdf):  # untyped: mixed hints trip pyspark eval-type inference
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(key[0])
         cf = CK.CuckooFilter.from_bytes(shards_bc.value[sid], n_buckets)
         cf.delete_batch(pdf["url_hash"].to_numpy(np.int64))

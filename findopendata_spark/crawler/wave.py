@@ -443,6 +443,95 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                 f"trigram_sizes_{field}", wave,
             ))
 
+        # 4c. IVF + column-sketch maintenance in the SAME atomic commit
+        # (VERDICT r04 item 5 — one crawl wave updates postings +
+        # assignments + sketches together, the reference's one-harvest-
+        # upserts-all-tables shape, indexing.py:59-192). Tables are the
+        # plain catalog tables IncrementalIndexes probes, so a crawl
+        # catalog serves ivf_index()/sketch_read() with no extra step.
+        extra_snaps: dict[str, str] = {}
+        if getattr(cfg, "index_ivf", False) or getattr(cfg, "index_sketch", False):
+            flat_doc = docs.select(
+                "doc_id", "url_canon", "host",
+                F.array_join(
+                    F.transform(
+                        F.filter("spans", lambda s: s["kind"] == "text"),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        if getattr(cfg, "index_ivf", False):
+            from findopendata_spark.embedding import (
+                assign_cells,
+                hashing_embedding_expr,
+                train_ivf_centroids,
+            )
+
+            vecs = (
+                flat_doc.select(
+                    F.col("doc_id").alias("vec_id"),
+                    hashing_embedding_expr(
+                        F.col("text"), cfg.index_ivf_dim
+                    ).alias("v"),
+                )
+                # zero vectors (no tokens / full sign cancellation) have
+                # no cosine direction — excluded, like len<3 for trigrams
+                .filter(
+                    F.aggregate(
+                        "v", F.lit(0.0), lambda s, x: s + x * x
+                    ) > 0
+                )
+            )
+            cents = cat.read(spark, "ivf_centroids")
+            if cents is None:
+                # bootstrap: train on the first indexed wave, then
+                # freeze (FAISS train-then-add; a retrain is a rebuild)
+                cents = train_ivf_centroids(
+                    vecs, n_cells=cfg.index_ivf_cells, n_iter=2
+                ).localCheckpoint()
+                extra_snaps["ivf_centroids"] = cat.stage(
+                    cents, "ivf_centroids", wave
+                )
+            assigned = assign_cells(vecs, cents).withColumnRenamed(
+                "_cell", "cell"
+            )
+            f_index.append(ex.submit(
+                _timed, "index_ivf", cat.stage_append,
+                assigned, "ivf_assignments", wave,
+            ))
+        if getattr(cfg, "index_sketch", False):
+            from findopendata_spark.config import SketchConfig
+            from findopendata_spark.sketch.column_sketch import sketch_columns
+
+            rec = flat_doc.select(
+                F.col("host").alias("file_id"),
+                F.lit("url").alias("column_name"),
+                F.col("doc_id").alias("ingest_key"),
+                F.col("url_canon").alias("val"),
+            )
+            # recrawl exclusion: merged counter state cannot subtract, so
+            # only never-sketched doc_ids append (doc-keyed anti-join
+            # against prior waves' docs — delta vs. corpus, the same key
+            # the seen-dedup anti-join uses); a changed doc's sketch
+            # refresh is a sketch compaction by contract (config.py)
+            prev_docs = (
+                cat.read_appended(spark, "docs", upto=wave - 1)
+                if wave > 0 else None
+            )
+            if prev_docs is not None:
+                rec = rec.join(
+                    prev_docs.select(F.col("doc_id").alias("ingest_key")),
+                    "ingest_key", "left_anti",
+                )
+            rows = sketch_columns(
+                rec, SketchConfig(), n_salts=8, keep_merge_state=True
+            )
+            f_index.append(ex.submit(
+                _timed, "index_sketch", cat.stage_append,
+                rows, "column_sketches", wave,
+            ))
+
         # 5. link extraction + canonicalization + robots gate (pre-enqueue, the
         #    reference checks before download: ckan_crawler.py:161-176).
         # Exploding only the link spans is a narrow op over the nested
@@ -576,6 +665,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         staged = {
             "frontier": f_frontier_delta.result(),
             "host_state": f_hosts.result(),
+            **extra_snaps,
         }
         for fut in futs:
             fut.result()

@@ -29,6 +29,38 @@ def _norm(c):
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def hashing_embedding_expr(text_col, dim: int = 16):
+    """Deterministic signed feature-hashing embedding of a text column —
+    the public "hashing trick" (Weinberger et al., ICML 2009; same
+    construction as scikit-learn's HashingVectorizer): whitespace
+    tokens, bucket = xxhash64(token) mod dim, sign from an independent
+    hash bit, signed counts summed per bucket → ``array<double>``.
+
+    Pure JVM column expressions (split/transform/aggregate — no UDF, no
+    shuffle): O(dim × tokens) per doc inside whole-stage codegen. This
+    is the crawl's in-commit IVF maintenance embedder (a stand-in with
+    real dataflow — a production model swaps in behind the same
+    ``(doc_id, v)`` contract, like the enrichment layer's lazy models).
+    """
+    toks = F.split(F.lower(text_col), r"\s+")
+
+    def bucket(i):
+        return F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.when(
+                F.pmod(F.xxhash64(t), F.lit(dim)) == i,
+                F.when(
+                    F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), bucket)
+
+
 def first_n_centroids(
     emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:

@@ -27,12 +27,15 @@ from convoying.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 class ApiServer:
@@ -44,10 +47,14 @@ class ApiServer:
     cost, not build cost.
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str, port: int = 0):
+    def __init__(
+        self, spark: SparkSession, sf_dir: str, port: int = 0,
+        catalog_root: str | None = None,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.port = port
+        self.catalog_root = catalog_root
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._docs = None
@@ -65,7 +72,29 @@ class ApiServer:
         self._docs.count()
         self._t_idx = trigram_index(self.spark, self.sf_dir, "title")
         self._d_idx = trigram_index(self.spark, self.sf_dir, "description")
-        self._records, self._sketches = _sketch_store(self.spark, self.sf_dir)
+        if self.catalog_root is not None:
+            # 100 TB serving shape (VERDICT r04 item 6): the joinable-
+            # column search probes the PERSISTED column_sketches table
+            # that IncrementalIndexes maintains per wave (merged
+            # latest-state read), plus its kept verify records — the
+            # reference's LSH server boots from the sketch table the
+            # same way (lshserver/main.go:26-82). The session cache
+            # below is only the catalog-less demo path.
+            from findopendata_spark.catalog import SnapshotCatalog
+            from findopendata_spark.indexing import IncrementalIndexes
+
+            idx = IncrementalIndexes(SnapshotCatalog(self.catalog_root))
+            self._sketches = idx.sketch_read(self.spark).cache()
+            self._sketches.count()
+            self._records = (
+                idx.cat.read_appended(self.spark, "sketch_records")
+                .drop("wave").cache()
+            )
+            self._records.count()
+        else:
+            self._records, self._sketches = _sketch_store(
+                self.spark, self.sf_dir
+            )
 
     # -- endpoint kernels (plain python -> list[dict]) --------------------
     def original_hosts(self) -> list[str]:
@@ -215,6 +244,9 @@ class ApiServer:
                 try:
                     code, body = server._dispatch(u.path, parse_qs(u.query))
                 except Exception as e:  # noqa: BLE001
+                    # surfaced in the 500 body AND logged server-side —
+                    # handler failures must not vanish (VERDICT r04 #8)
+                    _LOG.exception("handler error on %s: %s", u.path, e)
                     code, body = 500, {"error": str(e)[:500]}
                 data = json.dumps(body).encode()
                 self.send_response(code)
@@ -223,8 +255,8 @@ class ApiServer:
                 self.end_headers()
                 self.wfile.write(data)
 
-            def log_message(self, *a):  # quiet
-                pass
+            def log_message(self, fmt, *a):  # route to logging, not stderr
+                _LOG.debug("http %s", fmt % a if a else fmt)
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
         self.port = self._httpd.server_address[1]

@@ -13,6 +13,9 @@ Ordering: events are sorted by (ts, event_id) INSIDE each group call;
 across micro-batches the operator assumes event-time-ordered arrival per
 user (enforce upstream with a watermark + sorted file layout — the same
 assumption the reference's serial per-endpoint scroll provides for free).
+Violations are not silent: every event arriving older than the state's
+carried last-seen event time increments the per-user ``n_late`` counter,
+emitted in every update row (VERDICT r04 item 7).
 """
 
 from __future__ import annotations
@@ -28,15 +31,15 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
-OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
-STATE_SCHEMA = "last_ts double, n_sessions long, n_events long"
+OUT_SCHEMA = "user_id long, n_sessions long, n_events long, n_late long"
+STATE_SCHEMA = "last_ts double, n_sessions long, n_events long, n_late long"
 
 
 def _sessionize_group(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_s: float
 ) -> Iterator[pd.DataFrame]:
-    last_ts, n_sessions, n_events = (
-        state.get if state.exists else (None, 0, 0)
+    last_ts, n_sessions, n_events, n_late = (
+        state.get if state.exists else (None, 0, 0, 0)
     )
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
@@ -44,6 +47,14 @@ def _sessionize_group(
             ["ts", "event_id"], kind="stable"
         )
         ts = ev["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        # late-event guard (VERDICT r04 item 7): the cross-batch contract
+        # assumes event-time-ordered arrival per user; an event older
+        # than the carried last_ts violates it and can open a spurious
+        # session. Counting (not fixing) keeps the operator's math
+        # identical while making violations OBSERVABLE in every update
+        # row — enforcement belongs upstream (watermark + sorted layout).
+        if last_ts is not None:
+            n_late += int((ts < last_ts).sum())
         # vectorized gap detection (VERDICT r03 item 8 — the per-event
         # Python loop was the one hot-path scalar loop left): a session
         # starts at every event whose gap from its predecessor exceeds
@@ -57,13 +68,18 @@ def _sessionize_group(
         prev[0] = -np.inf if last_ts is None else last_ts
         n_sessions += int((ts - prev > gap_s).sum())
         n_events += len(ts)
-        last_ts = float(ts[-1])
-        state.update((last_ts, int(n_sessions), int(n_events)))
+        # last_ts = latest event time SEEN (watermark semantics): an
+        # all-late batch must not regress it, or later lateness hides
+        last_ts = float(ts[-1]) if last_ts is None else max(
+            float(ts[-1]), last_ts
+        )
+        state.update((last_ts, int(n_sessions), int(n_events), int(n_late)))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_sessions": [n_sessions],
             "n_events": [n_events],
+            "n_late": [n_late],
         }
     )
 
@@ -132,5 +148,5 @@ def read_session_totals(spark: SparkSession, output_path: str):
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("user_id", "n_sessions", "n_events")
+        .select("user_id", "n_sessions", "n_events", "n_late")
     )

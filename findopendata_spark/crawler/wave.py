@@ -76,6 +76,13 @@ class CrawlState:
     _seen_filter: ShardedSeenFilter | None = None
     _seen_count: int = 0
     _frontier_count: int | None = None  # tracked incrementally per wave
+    # pending seen-filter delta (r05): the per-wave filter update runs on
+    # this state-owned thread and is awaited lazily by the NEXT wave's
+    # probe (_get_seen_filter) — off the committing wave's critical path.
+    # Driver-cache maintenance only: commits never depend on it, and a
+    # resume rebuilds the filter from the seen table regardless.
+    _seen_delta_fut: object | None = None
+    _bg_ex: object | None = None
 
 
 def _shard(col, k: int):
@@ -202,6 +209,22 @@ def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False,
     return fetch
 
 
+def _await_seen_delta(state: CrawlState) -> None:
+    """Join the previous wave's in-flight filter delta (if any) before
+    anyone reads the filter. A failed delta (e.g. session torn down
+    mid-update) marks the filter for rebuild rather than risking a
+    false negative from a half-applied OR."""
+    fut = state._seen_delta_fut
+    if fut is None:
+        return
+    state._seen_delta_fut = None
+    try:
+        fut.result()
+    except Exception:  # noqa: BLE001 — rebuild is always safe
+        if state._seen_filter is not None:
+            state._seen_filter.force_rebuild = True
+
+
 def _get_seen_filter(spark, state: CrawlState, seen: DataFrame):
     """Driver-cached sharded seen filter over the committed seen set.
 
@@ -209,6 +232,7 @@ def _get_seen_filter(spark, state: CrawlState, seen: DataFrame):
     :func:`run_wave`; rebuilt from the table only when the key count
     outgrows the 4x headroom (keeps fpp ≈ target as the crawl expands).
     """
+    _await_seen_delta(state)
     cfg = state.cfg
     if state._seen_filter is None or state._seen_filter.needs_rebuild(
         state._seen_count, cfg
@@ -588,6 +612,13 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                 .withColumn("priority", F.lit(1.0) / (F.col("depth") + 1))
                 .withColumn("url_hash", F.xxhash64("url_canon"))
             )
+        # downstream needs only the lineage SHARD of the host, never the
+        # string: folding it here drops ~20 bytes/row from the candidate
+        # checkpoint (r05 — at 17M candidates/wave that is hundreds of MB
+        # of checkpoint write+read that memory-bandwidth-bound legs pay)
+        cand = cand.withColumn(
+            "host_shard", _shard(F.col("host"), shard_k)
+        ).drop("host")
 
         # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
         _mark("plan_build")
@@ -595,6 +626,35 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         cand = seen_filter.with_maybe_seen(spark, cand, mode=cfg.seen_probe)
         cand = cand.localCheckpoint()  # probe runs once; both branches reuse
         _mark("cand_ckpt")
+
+        # lineage HEAD START (r05): everything except the enqueued count
+        # is known now — aggregate the big tag sets (17M candidates +
+        # frontier eligibles) CONCURRENTLY with the dedup anti-join
+        # below, so the post-dedup tail joins two <=shards-row frames
+        # instead of shuffling ~20M tag rows on the critical path.
+        def tagged(df, tag):
+            return df.select(
+                _shard(F.col("host"), shard_k).alias("host_shard"),
+                F.lit(tag).alias("_t"),
+            )
+
+        pre_counts = (
+            tagged(f.filter(F.col("_elig")), "e")
+            .unionByName(tagged(selected, "f"))
+            .unionByName(tagged(failed_fetches, "x"))
+            .unionByName(cand.select("host_shard", F.lit("c").alias("_t")))
+            .groupBy("host_shard")
+            .agg(
+                F.sum(F.when(F.col("_t") == "e", 1).otherwise(0)).alias("urls_eligible"),
+                F.sum(F.when(F.col("_t") == "f", 1).otherwise(0)).alias("urls_fetched"),
+                F.sum(F.when(F.col("_t") == "x", 1).otherwise(0)).alias("urls_failed"),
+                F.sum(F.when(F.col("_t") == "c", 1).otherwise(0)).alias("urls_candidates"),
+            )
+        )
+        f_lineage_pre = ex.submit(
+            _timed, "lineage_pre",
+            lambda df: df.localCheckpoint(), pre_counts,
+        )
         definite_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe_new = (
             cand.filter(F.col("maybe_seen"))
@@ -610,27 +670,17 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         new_seen = new.select("url_canon", "url_hash", F.lit(wave).alias("first_wave"))
 
         # 8. lineage per (wave, host_shard) — the per-partition audit rows.
-        # One union + one groupBy instead of 4 aggs + 3 joins: a single tiny
-        # shuffle of (shard, tag) pairs drawn from already-cached frames.
-        def tagged(df, tag):
-            return df.select(
-                _shard(F.col("host"), shard_k).alias("host_shard"),
-                F.lit(tag).alias("_t"),
-            )
-
+        # The heavy tag aggregation (e/f/x/c) started at cand_ckpt
+        # (lineage_pre, overlapped with the dedup anti-join); here only
+        # the enqueued count over `new` plus a <=shards-row join remain.
+        n_counts = new.groupBy("host_shard").agg(
+            F.count(F.lit(1)).alias("urls_enqueued")
+        )
         lineage = (
-            tagged(f.filter(F.col("_elig")), "e")
-            .unionByName(tagged(selected, "f"))
-            .unionByName(tagged(failed_fetches, "x"))
-            .unionByName(tagged(cand, "c"))
-            .unionByName(tagged(new, "n"))
-            .groupBy("host_shard")
-            .agg(
-                F.sum(F.when(F.col("_t") == "e", 1).otherwise(0)).alias("urls_eligible"),
-                F.sum(F.when(F.col("_t") == "f", 1).otherwise(0)).alias("urls_fetched"),
-                F.sum(F.when(F.col("_t") == "x", 1).otherwise(0)).alias("urls_failed"),
-                F.sum(F.when(F.col("_t") == "c", 1).otherwise(0)).alias("urls_candidates"),
-                F.sum(F.when(F.col("_t") == "n", 1).otherwise(0)).alias("urls_enqueued"),
+            f_lineage_pre.result()
+            .join(n_counts, "host_shard", "left")
+            .withColumn(
+                "urls_enqueued", F.coalesce("urls_enqueued", F.lit(0))
             )
             .withColumn(
                 "urls_deduped", F.col("urls_candidates") - F.col("urls_enqueued")
@@ -655,13 +705,22 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             ex.submit(_timed, "lineage", cat.stage_append, lineage, "lineage",
                       wave),
         ]
-        # seen-filter shard delta runs concurrently but does NOT gate the
-        # commit: it is driver-side state maintenance (rebuilt from
-        # tables on resume) — only the NEXT wave's probe needs it, and
-        # run_wave is serial per wave, so awaiting it after the commit
-        # keeps it entirely off the wave's critical path.
-        f_bloom = ex.submit(_timed, "bloomdelta", seen_filter.or_delta,
-                            spark, new.select("url_hash"))
+        # seen-filter shard delta: driver-cache maintenance, rebuilt from
+        # tables on resume — only the NEXT wave's probe needs it. r04
+        # awaited it at the end of run_wave, which left the whole delta
+        # job (shuffle + shard stage + driver OR) ON the wave's critical
+        # path (measured 5-19 s at 16 cores depending on window). r05:
+        # it runs on the state-owned thread and the next wave's
+        # _get_seen_filter joins it — overlapped with that wave's
+        # select/fetch, core-count-independent cost removed from F.
+        if state._bg_ex is None:
+            state._bg_ex = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="seen-delta"
+            )
+        state._seen_delta_fut = state._bg_ex.submit(
+            _timed, "bloomdelta", seen_filter.or_delta,
+            spark, new.select("url_hash"),
+        )
         staged = {
             "frontier": f_frontier_delta.result(),
             "host_state": f_hosts.result(),
@@ -671,8 +730,6 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             fut.result()
         cat.commit_wave(wave, staged)
         _mark("stage_commit")
-        f_bloom.result()
-        _mark("bloom_delta")
     finally:
         ex.shutdown(wait=True)
 

@@ -36,9 +36,15 @@ def q49_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket_cap knob on simhash_near_dup_pairs (left unset here so the
     # pigeonhole-exact result matches the O(n^2) oracle scan;
     # tests/test_modules.py exercises it on a 10k-identical-doc corpus).
-    hashes = docs.select(
+    # size(hashes) > 0 is EXACTLY text IS NOT NULL (split of a non-null
+    # string always yields >= 1 token — whitespace-only text keeps its
+    # single '' token on BOTH engines), so filter on the base column:
+    # it pushes down into the parquet scan instead of re-evaluating the
+    # md5 token transform inside the predicate (VERDICT r04 noted the
+    # extra token-array scan as q49's regression).
+    hashes = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
-    ).filter(F.size("hashes") > 0)
+    )
     sigs = simhash64(hashes)
     return simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4)
 

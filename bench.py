@@ -1,11 +1,15 @@
 """Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR + crawl scaling.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total query sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "crawl": {"throughput_nlo": urls/s @ local[N_LO],
-             "throughput_nhi": urls/s @ local[N_HI],
-             "scaling_efficiency": thr_hi / ((N_HI/N_LO) * thr_lo), ...}}
+Prints ONE COMPACT JSON line (< 1.9 KB — the grading driver parses the
+JSON out of the last 2000 chars of stdout, see _emit):
+  {"metric": "...", "sf": ..., "value": <total query sec>, "unit": "sec",
+   "queries": {"qNN": sec, ...}, "sf2": ..., "value_sf2": ...,
+   "crawl": {"lo"/"hi": urls/s at the 2->8-core pair, "raw_eff",
+             "ctl_eff", "vs_ctl", "probe_int"/"probe_str",
+             "W_core_s"/"F_s" model fit, "xl_*": XL-wave leg},
+   "detail": "BENCH/last_run.json"}
+The FULL result (long query names, per-run lists, controls, probes,
+both scale points) is written to BENCH/last_run.json.
 
 The crawl block evidences BASELINE.json's two-cluster-size rule in-sandbox.
 HEADLINE (r05): the DECISION-GRADE 2->8-core multi-JVM pair —
@@ -623,7 +627,88 @@ def main() -> None:
         result["sf2"] = sf2.rstrip("/").rsplit("sf", 1)[-1]
         result["queries_sf2"] = q2
         result["value_sf2"] = round(sum(q2.values()), 3)
-    print(json.dumps(result))
+    _emit(result)
+
+
+def _crawl_compact(crawl: dict) -> dict:
+    """Decision-grade crawl summary small enough for the compact line:
+    headline pair throughputs + raw/control/vs-control efficiencies,
+    host-probe grants for the same windows, W/F model fit, XL-leg
+    result. Defensive: any missing block just drops its keys."""
+    c: dict = {}
+    pair = crawl.get("cluster_2to8") or {}
+    try:
+        c["lo"] = pair["n_lo"]["throughput_urls_per_s"]
+        c["hi"] = pair["n_hi"]["throughput_urls_per_s"]
+        c["raw_eff"] = pair["scaling_efficiency"]
+        c["W_core_s"] = pair["model"]["W_core_s"]
+        c["F_s"] = pair["model"]["F_s"]
+        c["ctl_eff"] = pair["control"]["control_efficiency"]
+        c["vs_ctl"] = pair["efficiency_vs_control"]
+    except (KeyError, TypeError):
+        pass
+    for src, dst in (
+        ("host_probe_2to8", "probe_int"),
+        ("host_probe_str_2to8", "probe_str"),
+    ):
+        try:
+            c[dst] = crawl[src]["probe_efficiency"]
+        except (KeyError, TypeError):
+            pass
+    xl = crawl.get("xl_2to8") or {}
+    try:
+        c["xl_lo"] = xl["n_lo"]["throughput_urls_per_s"]
+        c["xl_hi"] = xl["n_hi"]["throughput_urls_per_s"]
+        c["xl_raw_eff"] = xl["scaling_efficiency"]
+    except (KeyError, TypeError):
+        pass
+    return c
+
+
+def _emit(result: dict) -> None:
+    """Print ONE compact JSON line (< ~1.9 KB) and write the full result
+    to BENCH/last_run.json.
+
+    The grading driver keeps only the LAST 2000 characters of stdout and
+    parses the JSON line out of that window — the full result (51
+    queries x 2 scale points + the crawl block) is ~6 KB and has
+    therefore been unparseable-by-driver since r02 (BENCH_r02..r04.json:
+    "parsed": null). The compact line carries the contract fields
+    (metric/value/unit/sf/queries) with qNN-shortened query keys plus
+    the decision-grade crawl summary; everything else lives in the
+    detail file, which the round notes (BENCH/BASELINE.md) quote."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH", "last_run.json")
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        detail_path = None
+    compact = {
+        "metric": result["metric"],
+        "sf": result["sf"],
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        # qNN-short keys: the driver's example shape is {"q1": sec}
+        "queries": {
+            name.split("_", 1)[0]: round(sec, 2)
+            for name, sec in (result.get("queries") or {}).items()
+        },
+    }
+    if "value_sf2" in result:
+        compact["sf2"] = result.get("sf2")
+        compact["value_sf2"] = result["value_sf2"]
+    if "crawl" in result:
+        compact["crawl"] = _crawl_compact(result["crawl"])
+    if detail_path:
+        compact["detail"] = "BENCH/last_run.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never exceed the driver's tail window
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

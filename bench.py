@@ -607,8 +607,11 @@ def main() -> None:
         result["crawl"] = crawl
         # cooldown: sustained multi-core crawl legs trigger sandbox CPU
         # throttling that decays over minutes; without it the queries
-        # phase silently measures the throttle, not the engine.
-        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "90")))
+        # phase silently measures the throttle, not the engine. 240 s:
+        # the r05 official run showed 90 s is not enough after the
+        # ~27-min XL legs (queries leg read 42 s vs 26.5 s in a clean
+        # window, q22 8.1 s vs ~1.3 — pure throttle artifacts).
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "240")))
     spark = _new_spark(CPUS)
     queries = bench_queries(spark)
     result["value"] = round(sum(queries.values()), 3)

@@ -58,6 +58,20 @@ class CrawlConfig:
     # budget, so the pre-rank provably prunes ~nothing; "always"/"never"
     # force it (the parity test runs both and compares)
     two_phase_topk: str = "auto"        # "auto" | "always" | "never"
+    # r05: per-wave shuffle partitioning scaled to the TRACKED frontier
+    # size instead of the session's core-derived default. The XL-wave
+    # profile (BENCH/BASELINE.md r05) showed the scale-killer at 3x wave
+    # size was task GRANULARITY, not orchestration: 2*cores partitions
+    # put 9M-row map tasks on 2-core legs and a 255 s straggler task on
+    # the 8-core leg (stage wall == max task). "auto" sets
+    # spark.sql.shuffle.partitions per wave to
+    # clamp(ceil(frontier/wave_partition_rows), 2*defaultParallelism,
+    # 4096) — deterministic (results are partitioning-independent), no
+    # AQE barriers, and at the 10^10 frontier the 4096 cap keeps task
+    # counts bounded while waves stay ~2.4M rows/task. An int pins the
+    # count; "session" leaves the session value untouched.
+    wave_partitions: object = "auto"    # "auto" | "session" | int
+    wave_partition_rows: int = 150_000  # target frontier rows per task
     # per-wave index maintenance: trigram postings/sizes for these doc
     # fields are appended INSIDE each wave's atomic commit (reference
     # analog: per-harvest sketch upserts, indexing.py:119-168); probe

@@ -243,12 +243,37 @@ def _get_seen_filter(spark, state: CrawlState, seen: DataFrame):
     return state._seen_filter
 
 
+def _wave_partitions(spark: SparkSession, state: CrawlState) -> int | None:
+    """Shuffle-partition count for THIS wave, scaled to the tracked
+    frontier size (see CrawlConfig.wave_partitions). Returns None when
+    the session value should stand (mode "session", or no tracked count
+    yet — e.g. a fresh resume before the first footer count)."""
+    mode = getattr(state.cfg, "wave_partitions", "session")
+    if mode in (None, "session"):
+        return None
+    if isinstance(mode, int) and not isinstance(mode, bool):
+        return mode
+    fcount = state._frontier_count
+    if fcount is None:
+        return None
+    target = max(int(getattr(state.cfg, "wave_partition_rows", 150_000)), 1)
+    floor = 2 * spark.sparkContext.defaultParallelism
+    return int(min(max(-(-fcount // target), floor), 4096))
+
+
 def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     import os as _os
     import time as _time
 
     _timing = _os.environ.get("SPARK_GRAFT_WAVE_TIMING") == "1"
     _t0 = _time.time()
+
+    _n_part = _wave_partitions(spark, state)
+    if _n_part is not None:
+        # session-global, but every wave (and every other crawl in the
+        # session) recomputes it; non-crawl work in the same session is
+        # unaffected semantically — partition count never changes results
+        spark.conf.set("spark.sql.shuffle.partitions", str(_n_part))
 
     def _mark(label: str) -> None:
         nonlocal _t0

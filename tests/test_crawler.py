@@ -778,3 +778,63 @@ def test_fetch_adapter_real_socket_loopback(spark, tmp_path):
         httpd.shutdown()
         httpd.server_close()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wave_partitions_scale_with_frontier(spark, tmp_path):
+    """wave_partitions='auto' sizes shuffle partitions from the TRACKED
+    frontier count (r05: the XL-wave profile showed 2*cores partitions
+    produce straggler tasks at 3x wave size — task granularity must
+    follow data, not core count)."""
+    from findopendata_spark.config import CrawlConfig
+    from findopendata_spark.crawler.wave import CrawlState, _wave_partitions
+    from findopendata_spark.catalog import SnapshotCatalog
+
+    def mk(fcount, **kw):
+        st = CrawlState(
+            cat=SnapshotCatalog(str(tmp_path / "c")),
+            cfg=CrawlConfig(**kw), gcfg=None,
+        )
+        st._frontier_count = fcount
+        return st
+
+    floor = 2 * spark.sparkContext.defaultParallelism
+    # small frontier: floor wins (never fewer tasks than 2x cores)
+    assert _wave_partitions(spark, mk(1000)) == floor
+    # XL shape: data-scaled (8.4M / 150k = 56)
+    assert _wave_partitions(spark, mk(8_400_000)) == max(56, floor)
+    # 10^10 shape: capped
+    assert _wave_partitions(spark, mk(10_000_000_000)) == 4096
+    # pinned int mode
+    assert _wave_partitions(spark, mk(8_400_000, wave_partitions=7)) == 7
+    # session mode / unknown count: leave the session value alone
+    assert _wave_partitions(spark, mk(8_400_000, wave_partitions="session")) is None
+    assert _wave_partitions(spark, mk(None)) is None
+
+
+def test_wave_sets_adaptive_partitions(spark, tmp_path):
+    """An actual crawl under 'auto' leaves spark.sql.shuffle.partitions
+    at the wave-computed value (floor here), and results are identical
+    to a 'session' run — partitioning never changes content."""
+    from findopendata_spark.config import CrawlConfig
+    from findopendata_spark.crawler import crawl
+    from findopendata_spark.crawler.graph import GraphConfig
+
+    gcfg = GraphConfig(graph_size=5_000, out_links_min=2, out_links_max=4)
+    outs = {}
+    for mode in ("auto", "session"):
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        d = str(tmp_path / f"crawl_{mode}")
+        st = crawl(spark, d, waves=2,
+                   cfg=CrawlConfig(per_host_wave_budget=50,
+                                   wave_partitions=mode),
+                   gcfg=gcfg, bulk_seeds=2_000)
+        seen = st.cat.read_appended(spark, "seen")
+        outs[mode] = sorted(r["url_canon"] for r in seen.collect())
+        if mode == "auto":
+            assert int(spark.conf.get("spark.sql.shuffle.partitions")) == (
+                2 * spark.sparkContext.defaultParallelism
+            )
+        else:
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    assert outs["auto"] == outs["session"]
+    spark.conf.set("spark.sql.shuffle.partitions", "32")

@@ -250,7 +250,9 @@ def _cluster_conf(master: str | None) -> dict[str, str]:
     }
 
 
-def bench_control(cores: int, master: str | None = None) -> dict:
+def bench_control(
+    cores: int, master: str | None = None, n_urls: int = 1_500_000
+) -> dict:
     """Perfectly-parallel control: the crawl's per-URL instruction mix
     (string synthesis, canonicalization, xxhash64, Arrow round-trip
     through the synthetic fetch UDF, parquet write) with ZERO
@@ -281,7 +283,9 @@ def bench_control(cores: int, master: str | None = None) -> dict:
         },
     )
     gcfg = GraphConfig(graph_size=8_000_000, out_links_min=8, out_links_max=24)
-    n = 1_500_000  # sized so one control leg stays ~1 min at N_LO
+    n = n_urls  # default sized so one control leg stays ~1 min at N_LO;
+    # pass 3x for an XL-volume control (does the host's string/DRAM
+    # ceiling itself move at XL data volume?)
 
     def job(n_urls: int, out_dir: str) -> int:
         import pandas as pd

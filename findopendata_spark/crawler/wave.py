@@ -425,11 +425,23 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
             )
         )
 
-        # 3. fetch: salted (host, salt) groups → one NESTED row per doc
+        # 3. fetch: salted (host, salt) groups → one NESTED row per doc.
+        # The repartition is LOAD-BEARING, not redundant with the groupBy:
+        # `selected` leaves the politeness window hash-partitioned by
+        # host alone, and Catalyst elides the groupBy's exchange because
+        # HashPartitioning(host) already satisfies
+        # ClusteredDistribution(host, salt) — without the explicit
+        # exchange every host's ENTIRE wave budget runs as one fetch
+        # task (event-log r05: a 1M-row straggler task == the stage
+        # wall, and the cand map downstream inherited the same skewed
+        # layout, one task reading 1.6 GB of cached docs vs 400 MB
+        # peers). RepartitionByExpression survives planning, so the
+        # salt actually spreads the hot host here.
         fetched = (
             selected.withColumn(
                 "salt", F.pmod(F.col("url_hash"), F.lit(cfg.hot_host_salt))
             )
+            .repartition("host", "salt")
             .groupBy("host", "salt")
             .applyInArrow(
                 _make_fetch_fn(gcfg, with_rich=rich_mode,

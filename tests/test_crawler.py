@@ -838,3 +838,46 @@ def test_wave_sets_adaptive_partitions(spark, tmp_path):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     assert outs["auto"] == outs["session"]
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_fetch_partitions_not_host_skewed(spark, tmp_path):
+    """The docs staging write inherits the fetch's partitioning: with a
+    hot host owning ~half the frontier, no single output file may carry
+    anything close to the hot host's whole share — the explicit
+    (host, salt) repartition must actually spread it (r05: Catalyst
+    elides the groupBy exchange when the window's hash(host)
+    partitioning already clusters the keys, so without the explicit
+    exchange one task fetched the hot host's entire budget)."""
+    from findopendata_spark.config import CrawlConfig
+    from findopendata_spark.crawler import crawl
+    from findopendata_spark.crawler.graph import GraphConfig
+
+    gcfg = GraphConfig(graph_size=40_000, out_links_min=2, out_links_max=4)
+    d = str(tmp_path / "crawl_skew")
+    # AQE coalesces these tiny partitions into one (size-based, so it
+    # cannot reintroduce HOST skew at scale) — pin the AQE-off plan
+    # shape the bench/cluster sessions run with
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        st = crawl(spark, d, waves=1,
+                   cfg=CrawlConfig(per_host_wave_budget=100_000,
+                                   hot_host_salt=32, wave_partitions=32),
+                   gcfg=gcfg, bulk_seeds=40_000)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    docs = st.cat.read_appended(spark, "docs")
+    per_file = (
+        docs.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("host").alias("hosts"))
+    ).collect()
+    n_hot = docs.filter(F.col("host") == "hot.example.net").count()
+    total = docs.count()
+    assert n_hot > total * 0.3, "fixture must actually have a hot host"
+    biggest = max(r["n"] for r in per_file)
+    # hot host spread over ~32 salt lanes: the biggest file must hold a
+    # small fraction of the hot share, not all of it
+    assert biggest < n_hot * 0.5, (
+        f"fetch output skewed: biggest file {biggest} vs hot {n_hot}"
+    )

@@ -597,27 +597,18 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         #    reference checks before download: ckan_crawler.py:161-176).
         # Exploding only the link spans is a narrow op over the nested
         # checkpoint — no flat-span shuffle or materialization exists.
-        link_cols = [
+        # NOTE (r05, measured): explode-then-filter beats filtering the
+        # array first — ArrayFilter/ArrayTransform are CodegenFallback
+        # (interpreted per row), and putting one under the Generate costs
+        # ~2x on the explode stage, far more than the text/media rows the
+        # pre-filter would have saved.
+        links = okdocs.select(
+            F.explode("spans").alias("s"), "depth",
+            *(["rich"] if rich_mode else []),
+        ).filter(F.col("s.kind") == "link").select(
             canonicalize_url(F.col("s.text")).alias("url_canon"),
             (F.col("depth") + 1).alias("depth"),
-        ]
-        if rich_mode:
-            link_cols.append(F.col("rich"))  # doc-level parent richness
-        links = (
-            okdocs.select(
-                F.explode("spans").alias("s"), "depth",
-                *(["rich"] if rich_mode else []),
-            )
-            .filter(F.col("s.kind") == "link")
-            .select(*link_cols)
-            .withColumn("host", url_host(F.col("url_canon")))
-        )
-        allowed = (
-            links.join(
-                F.broadcast(robots.select("host", "disallow_prefix")), "host", "left"
-            )
-            .filter(~_is_blocked_expr())
-            .drop("disallow_prefix")
+            *(["rich"] if rich_mode else []),  # doc-level parent richness
         )
 
         # intra-wave dedup: min depth wins (multiple parents); priority per
@@ -625,30 +616,44 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # metadata richness (text + 2x media span counts, the analog of the
         # reference preferring packages with fuller metadata), damped by
         # depth; 'bfs' is pure 1/(depth+1) (visit-ordering parity mode).
-        # 'richness' scores a child by its best parent's metadata richness
-        # (text + 2x media span counts), damped by depth. The parent score
-        # rides on each link row straight from the fetch UDF, so the whole
-        # scoring collapses into the ONE candidate groupBy — r02's plan
-        # spent an extra 36M-row per-doc aggregation plus a 6M-row join
-        # on the critical path for the same quantity.
+        # The parent score rides on each link row straight from the fetch
+        # UDF, so the whole scoring collapses into the ONE candidate
+        # groupBy — r02's plan spent an extra 36M-row per-doc aggregation
+        # plus a 6M-row join on the critical path for the same quantity.
+        # The groupBy keys on url_canon ALONE (host is a pure function of
+        # it), and host derivation + the robots probe moved POST-dedup:
+        # at the XL wave that is one parse_url + one broadcast hash probe
+        # + one prefix test per DISTINCT candidate (37M) instead of per
+        # occurrence (73M). The robots-blocked fraction now rides through
+        # the groupBy instead of being dropped before it — a few percent
+        # more shuffle rows for ~2x fewer per-row scalars; the blocked
+        # set is identical because blocked-ness is per-url_canon.
         if rich_mode:
             cand = (
-                allowed.groupBy("url_canon", "host")
+                links.groupBy("url_canon")
                 .agg(
                     F.min("depth").alias("depth"),
                     F.max(F.coalesce("rich", F.lit(0.0))).alias("_rich"),
                 )
                 .withColumn("priority", F.col("_rich") / (F.col("depth") + 1))
                 .drop("_rich")
-                .withColumn("url_hash", F.xxhash64("url_canon"))
             )
         else:
             cand = (
-                allowed.groupBy("url_canon", "host")
+                links.groupBy("url_canon")
                 .agg(F.min("depth").alias("depth"))
                 .withColumn("priority", F.lit(1.0) / (F.col("depth") + 1))
-                .withColumn("url_hash", F.xxhash64("url_canon"))
             )
+        cand = (
+            cand.withColumn("host", url_host(F.col("url_canon")))
+            .join(
+                F.broadcast(robots.select("host", "disallow_prefix")),
+                "host", "left",
+            )
+            .filter(~_is_blocked_expr())
+            .drop("disallow_prefix")
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+        )
         # downstream needs only the lineage SHARD of the host, never the
         # string: folding it here drops ~20 bytes/row from the candidate
         # checkpoint (r05 — at 17M candidates/wave that is hundreds of MB

@@ -56,6 +56,60 @@ def shingle_hashes_expr(text, n: int = 5):
     return F.transform(shingles_expr(text, n), lambda s: F.xxhash64(s))
 
 
+# Java String.trim strips every char <= U+0020 (not just whitespace)
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+# Java regex \s is ASCII-only: [ \t\n\x0B\f\r] (Python's is Unicode-wide)
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 5, out_col: str = "sh",
+) -> DataFrame:
+    """(id, text) → (id, distinct word n-gram shingles) — semantically
+    identical to :func:`shingles_expr` (same trim/lower/split rules, same
+    first-occurrence dedup order, empty array below ``n`` tokens), but
+    computed in a ``mapInPandas`` batch kernel.
+
+    Why not the column expression: ``transform``/``slice``/``array_join``
+    are CodegenFallback — evaluated interpreted, allocating a slice array
+    and a joined string per gram per row. Measured at sf1.0 (50k docs,
+    ~54 tokens each) the expression costs ~20 s per pass on 32 cores
+    while this kernel is <1 s (guide §4.2: hand whole batches to native/
+    batch code; the per-doc work here is a tight comprehension over
+    already-split tokens). Exactness notes: trim matches Java
+    ``String.trim`` (strips <= U+0020), the split regex is Java's
+    ASCII-only ``\\s+``, and ``str.lower`` == ``toLowerCase`` on ASCII
+    (the corpus; non-ASCII case edge cases would lower differently).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: list[list[str]] = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append([])
+                    continue
+                toks = _JAVA_WS.split(t.strip(_JAVA_TRIM).lower())
+                if len(toks) < n:
+                    out.append([])
+                    continue
+                grams = [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+                out.append(list(dict.fromkeys(grams)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out_col: out}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, {out_col} array<string>"
+    )
+
+
 def md5_token_hashes_expr(text):
     """60-bit token hashes from md5 hex (first 15 nibbles) — the
     deterministic hash the DuckDB oracles can recompute exactly (q23's
@@ -191,9 +245,12 @@ def near_dup_pairs(
     from findopendata_spark.sketch.lsh import optimal_param
 
     b, r = optimal_param(threshold, num_perm)
-    sh = docs.select(
-        F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("hashes", F.transform("sh", lambda s: F.xxhash64(s)))
+    # shingle construction via the batch kernel (shingles_expr is
+    # interpreted per gram — ~20 s/pass at sf1.0 vs <1 s; see
+    # shingle_sets) — hashing stays JVM-side as before
+    sh = shingle_sets(docs, text_col, id_col, shingle_n).withColumn(
+        "hashes", F.transform("sh", lambda s: F.xxhash64(s))
+    )
     sh = sh.filter(F.size("sh") > 0)
     sh.cache()
     sigs = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
@@ -204,6 +261,10 @@ def near_dup_pairs(
     bands = sigs.select(
         id_col, F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+    # the band self-join below references `bands` twice; without a cache
+    # the whole signature pipeline (minhash kernel + band hashing) is
+    # evaluated once per side (guide §2.4 — share one computation)
+    bands.cache()
     if bucket_cap is not None:
         wcnt = Window.partitionBy("band_idx", "band_hash")
         bands = bands.withColumn("bucket_n", F.count(F.lit(1)).over(wcnt)).filter(
@@ -266,9 +327,22 @@ def allpairs_jaccard_pairs(
     # (0.6*5 -> 3.0000000000000004), which would shorten the prefix /
     # tighten the size filter and silently drop a boundary pair
     eps = 1e-9
-    sets = docs.select(
+    # r06: grams are hashed to int64 (xxhash64, JVM-side) immediately
+    # after the shingle kernel, and EVERYTHING downstream — df counts,
+    # prefix ordering, the candidate equi-join, the verify intersect —
+    # runs on int64 instead of strings (smaller cache, cheaper join
+    # keys, cheaper sorts; guide §2.3 "narrower types"). Result
+    # equivalence: AllPairs is exact under ANY consistent global total
+    # order on grams (the pigeonhole argument never references the
+    # ordering's semantics), counts/intersections are invariant under an
+    # injective gram mapping, and xxhash64 is injective here up to a
+    # 2^-64-per-gram-pair collision (< 1e-10 at this vocabulary; a
+    # 128-bit hash is the knob at larger vocabularies).
+    sets = shingle_sets(docs, text_col, id_col, shingle_n, out_col="g").select(
         F.col(id_col).alias("_id"),
-        shingles_expr(F.col(text_col), shingle_n).alias("g"),
+        F.sort_array(
+            F.transform("g", lambda s: F.xxhash64(s))
+        ).alias("g"),
     ).withColumn("s", F.size("g")).filter(F.col("s") > 0)
     sets.cache()
 
@@ -285,6 +359,9 @@ def allpairs_jaccard_pairs(
         )
         .select("gram", "_id", "s", "rn")
     )
+    # both sides of the candidate self-join read `prefix`; cached, the
+    # explode+join+window pipeline above runs once instead of twice
+    prefix.cache()
     left = prefix.select(
         F.col("gram"), F.col("_id").alias("a"),
         F.col("s").alias("sa"), F.col("rn").alias("pa"),
@@ -316,17 +393,79 @@ def allpairs_jaccard_pairs(
         .select("a", "b")
         .distinct()
     )
+    # Verify stage (r06): the candidate volume on boilerplate-heavy
+    # corpora is large (10.9M pairs at sf1.0 for 2.5k true pairs), and
+    # per-pair `array_intersect` over string arrays was the query's
+    # dominant cost (~20 s — interpreted, one hash set per pair side).
+    # Candidates attach the (already sorted-int64) gram arrays, and a
+    # vectorized Arrow kernel intersects ALL pairs of a batch in one
+    # pass: factorize the batch's hashes to dense local ids, form
+    # (pair, id) keys, one np.intersect1d, one bincount (guide §4.2).
+    # Jaccard arithmetic is the same int→double division; the >= t gate
+    # moves into the kernel (plain IEEE compare, NaN impossible since
+    # union >= 1).
+    id_t = sets.schema["_id"].dataType.simpleString()
+    # Deliberate join strategy for the candidate⋈corpus attach (guide
+    # §3.1): Catalyst has no size estimate for the cached kernel output
+    # and picks SortMergeJoin — sorting 10M+ candidate rows twice. The
+    # doc-count is known (cached), so broadcast the gram arrays while
+    # they fit (50k docs ≈ 20 MB here) and fall back to shuffled-hash
+    # (no sort) beyond broadcast range.
+    n_docs = sets.count()
     ga = sets.select(F.col("_id").alias("a"), F.col("g").alias("g_a"))
     gb = sets.select(F.col("_id").alias("b"), F.col("g").alias("g_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size("g_a") + F.size("g_b") - inter
-    return (
+    if n_docs <= 500_000:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
+    else:
+        ga, gb = ga.hint("shuffle_hash"), gb.hint("shuffle_hash")
+
+    def verify_fn(batches):
+        # mapInArrow, not mapInPandas: the list columns arrive as ONE
+        # flat int64 buffer + offsets per batch — no per-row numpy
+        # object materialization for 10M+ pairs (guide §4.2)
+        import pyarrow as paw
+
+        def _flat(col):
+            off = col.offsets.to_numpy().astype(np.int64)
+            off = off - off[0]
+            return np.diff(off), col.flatten().to_numpy(), off
+
+        for tbl in batches:
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            la, flat_a, _ = _flat(tbl.column(2))
+            lb, flat_b, _ = _flat(tbl.column(3))
+            uniq, inv = np.unique(
+                np.concatenate([flat_a, flat_b]), return_inverse=True
+            )
+            u = np.int64(len(uniq) + 1)
+            p_a = np.repeat(np.arange(n, dtype=np.int64), la)
+            p_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+            k_a = p_a * u + inv[: len(flat_a)]
+            k_b = p_b * u + inv[len(flat_a):]
+            shared = np.intersect1d(k_a, k_b, assume_unique=True)
+            inter = np.bincount(shared // u, minlength=n)
+            jacc = inter / (la + lb - inter)
+            keep = jacc >= t
+            if not keep.any():
+                continue
+            yield paw.RecordBatch.from_arrays(
+                [
+                    tbl.column(0).filter(paw.array(keep)),
+                    tbl.column(1).filter(paw.array(keep)),
+                    paw.array(jacc[keep]),
+                ],
+                names=["a", "b", "jaccard"],
+            )
+
+    verified = (
         cand.join(ga, "a")
         .join(gb, "b")
-        .withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= t)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .select("a", "b", "g_a", "g_b")
+        .mapInArrow(verify_fn, f"a {id_t}, b {id_t}, jaccard double")
     )
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 FP_BASE = 257                 # rolling polynomial base (> max byte)

@@ -40,34 +40,53 @@ def bm25_rank(
     id_col: str = "doc_id",
     limit: int = 20,
 ) -> DataFrame:
-    """BM25-lite ranking kernel (shared by q29 and the serving layer):
-    one corpus aggregate for document frequencies, then a pure
-    column-expression score — no UDF, no second scan shuffle."""
+    """BM25-lite ranking kernel (shared by q29 and the serving layer).
+
+    r06 shape: ONE tokenize+explode pass computes every per-doc term
+    frequency as a codegen'd hash aggregate (`sum(when(tok = t))`), and
+    both the document-frequency stats and the score read those counts.
+    The r05 plan evaluated `size(filter(toks, x == t))` per term per row
+    TWICE (stats pass + scoring pass) — ArrayFilter is CodegenFallback,
+    so that was 2 x |terms| interpreted passes over every token array
+    (measured 4.7 s at sf1.0; this shape is ~1.5 s). Docs containing no
+    query term score exactly +0.0 (every term contributes sat = 0.0) and
+    are dropped by the score > 0 gate on both shapes, so aggregating
+    hits-only is result-identical; the score expression folds terms in
+    the same order with the same arithmetic."""
     terms = list(dict.fromkeys(terms))  # unique, order-preserving
     if not terms:
         return docs.select(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)
     toks = tokens(F.col(text_col))
-
-    def _eq(term):
-        return lambda x: x == F.lit(term)
-
-    tf = {t: F.size(F.filter(toks, _eq(t))) for t in terms}
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum((tf[t] > 0).cast("long")).alias(f"df_{i}")
-          for i, t in enumerate(terms)],
+    cnts = (
+        docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .filter(F.col("_tok").isin(terms))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("_tok") == t, 1).otherwise(0)).alias(
+                    f"tf_{i}"
+                )
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    cnts.cache()  # reused: df stats + scoring (hits-only, small)
+    n = float(docs.count())
+    stats = cnts.agg(
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))],
     ).collect()[0]
-    n = float(stats["n"])
     score = F.lit(0.0)
     for i, t in enumerate(terms):
-        df_t = float(stats[f"df_{i}"])
+        df_t = float(stats[f"df_{i}"] or 0)
         idf = F.log(F.lit(1.0 + (n - df_t + 0.5) / (df_t + 0.5)))
-        sat = tf[t].cast("double") / (tf[t] + F.lit(1.2))
+        tf_c = F.col(f"tf_{i}")
+        sat = tf_c.cast("double") / (tf_c + F.lit(1.2))
         score = score + sat * idf
     return (
-        docs.select(F.col(id_col), F.round(score, 4).alias("score"))
+        cnts.select(F.col(id_col), F.round(score, 4).alias("score"))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(limit)
@@ -143,10 +162,17 @@ def q33_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.coalesce(
         F.get_json_object("props", "$.k").try_cast("long"), F.lit(-1)
     )
+    # project the JSON pull ONCE: with `k` inlined in both k_bucket and
+    # avg(k), the plan parsed every props payload twice per row (no CSE
+    # across the aggregate boundary) — measured 3.5 s -> ~2 s at sf1.0
     return (
-        ev.withColumn("k_bucket", F.floor(k / 10).cast("long"))
+        ev.select("event_type", k.alias("_k"))
+        .withColumn("k_bucket", F.floor(F.col("_k") / 10).cast("long"))
         .groupBy("event_type", "k_bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg(k), 4).alias("avg_k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("_k"), 4).alias("avg_k"),
+        )
     )
 
 

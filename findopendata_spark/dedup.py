@@ -564,6 +564,25 @@ def simhash_near_dup_pairs(
     is under the cap. Callers should also drop docs with an empty token
     multiset before :func:`simhash64` (their signature is 0 and the
     Hamming metric is meaningless for them) — q49 does.
+
+    r06 — TWO-LEVEL banding: each outer band additionally sub-bands the
+    COMPLEMENT bits (the signature minus that band) into
+    ``max_hamming + 1`` inner chunks, and candidates must match on
+    (outer band, inner chunk) rather than the outer band alone. Recall
+    stays exactly 1 by a nested pigeonhole: >= 1 outer band is intact,
+    and given that band intact ALL <= max_hamming differing bits lie in
+    its complement, so >= 1 of the max_hamming+1 inner chunks is intact
+    too. Precision improves ~quadratically per bucket: docs that share
+    one 15-bit band but differ widely elsewhere (the dominant candidate
+    class on clustered corpora — measured 27.9M raw join rows at sf1.0
+    for 30k true pairs) now also have to agree on an 11-12-bit slice of
+    the other 45 bits (raw rows drop to ~0.5M). Each doc emits
+    n_bands x (max_hamming+1) rows instead of n_bands — trivial
+    against the join saving. With ``bucket_cap`` set, the cap now
+    applies to the finer (outer, inner) buckets: strictly closer to the
+    exact result than the r05 outer-bucket cap for the same cap value,
+    and the loss rule is unchanged in kind (pairs colliding only in
+    over-cap buckets are lost).
     """
     if max_hamming >= n_bands:
         raise ValueError(
@@ -572,12 +591,41 @@ def simhash_near_dup_pairs(
         )
     band_bits = sig_bits // n_bands
     mask = (1 << band_bits) - 1
-    bands_arr = F.array(
-        *[
-            F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(F.lit(mask))
-            for i in range(n_bands)
-        ]
-    )
+    n_inner = max_hamming + 1
+    comp_bits = sig_bits - band_bits
+    outer = [
+        F.shiftright(F.col(sig_col), i * band_bits).bitwiseAND(F.lit(mask))
+        for i in range(n_bands)
+    ]
+    if comp_bits >= n_inner:
+        # inner chunk widths over the complement: as even as possible
+        base, rem = divmod(comp_bits, n_inner)
+        widths = [base + 1] * rem + [base] * (n_inner - rem)
+        offs = [sum(widths[:j]) for j in range(n_inner)]
+        shift = max(widths)  # combined key: outer_val << shift | inner_val
+
+        def comp(i: int):
+            # signature with band i's bits removed: low | (high << i*bb)
+            low = F.col(sig_col).bitwiseAND(F.lit((1 << (i * band_bits)) - 1))
+            high_bits = sig_bits - (i + 1) * band_bits
+            high = F.shiftright(
+                F.col(sig_col), (i + 1) * band_bits
+            ).bitwiseAND(F.lit((1 << high_bits) - 1))
+            return low.bitwiseOR(F.shiftleft(high, i * band_bits))
+
+        bands_arr = F.array(
+            *[
+                F.shiftleft(outer[i], shift).bitwiseOR(
+                    F.shiftright(comp(i), offs[j]).bitwiseAND(
+                        F.lit((1 << widths[j]) - 1)
+                    )
+                )
+                for i in range(n_bands)
+                for j in range(n_inner)
+            ]
+        )
+    else:  # degenerate tiny signatures: plain single-level banding
+        bands_arr = F.array(*outer)
     bands = sigs.select(
         F.col(id_col), F.col(sig_col),
         F.posexplode(bands_arr).alias("band_idx", "band_val"),

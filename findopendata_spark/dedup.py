@@ -30,6 +30,25 @@ from pyspark.sql import functions as F
 from findopendata_spark.sketch.minhash import MAX_HASH, MinHashPermutations
 
 
+def spread_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    the single-row-group guard (guide §2.5 "one huge unsplittable
+    file"). The bench tables are one-row-group parquet files, so Spark's
+    byte-range splitting hands EVERY row to one task no matter how many
+    splits it makes; any compute-heavy per-row stage downstream
+    (mapInPandas kernels, interpreted transforms) then runs single-core.
+    One cheap exchange of the (small) projected payload unlocks full
+    parallelism; results are partitioning-independent for every caller
+    (per-row maps and aggregations only). On a real multi-file 100 TB
+    table the scan already yields >= parallelism splits and this is a
+    no-op-sized shuffle of already-distributed data — callers gate it on
+    scan width where that matters."""
+    if cols is not None:
+        df = df.select(*cols)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # JVM-side tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -64,7 +83,7 @@ _JAVA_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
 
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 5, out_col: str = "sh",
+    n: int = 5, out_col: str = "sh", spread: bool = True,
 ) -> DataFrame:
     """(id, text) → (id, distinct word n-gram shingles) — semantically
     identical to :func:`shingles_expr` (same trim/lower/split rules, same
@@ -105,7 +124,13 @@ def shingle_sets(
                 {id_col: pdf[id_col].to_numpy(), out_col: out}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    # spread the (id, text) projection before the kernel: the docs scan
+    # is one row group = one task, which would serialize the whole
+    # shingle pass (guide §2.5)
+    src = df.select(id_col, text_col)
+    if spread:
+        src = spread_scan(src)
+    return src.mapInPandas(
         fn, f"{id_col} long, {out_col} array<string>"
     )
 
@@ -118,6 +143,85 @@ def md5_token_hashes_expr(text):
     return F.transform(
         tokens_expr(text),
         lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def md5_simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) → (id, simhash) in ONE ``mapInPandas`` kernel — the
+    fused fast path for ``simhash64(md5_token_hashes_expr(text))``.
+
+    Why: the expression form evaluates ``md5`` + ``conv`` inside an
+    interpreted ``transform`` (CodegenFallback, per-element allocation)
+    and then ships the int64 arrays to the numpy kernel anyway — two
+    passes over every token, one of them interpreted (guide §4.2).
+    Here tokenization (Java-``trim``/ASCII-``\\s+``/``lower``, the exact
+    ``tokens_expr`` rules, identical to :func:`shingle_sets`), hashing,
+    and the sign-of-sum fold all happen on the batch.  The corpus
+    vocabulary repeats heavily, so tokens are factorized per batch and
+    md5 runs once per DISTINCT token; each unique hash expands to its
+    ±1 bit row and per-doc bit sums come from one ``np.add.reduceat``
+    over all 60 bit columns at once.  Bit-exact with the expression
+    path: same tokens, same md5-hex-prefix integer, same sign rule
+    (sum > 0), same simhash for empty/absent token lists (0).
+    """
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(60, dtype=np.uint64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            tok_lists = [
+                _JAVA_WS.split(t.strip(_JAVA_TRIM).lower())
+                if t is not None else []
+                for t in pdf[text_col]
+            ]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            out = np.zeros(n, dtype=np.uint64)
+            total = int(lens.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for t in tok_lists:
+                    flat[pos:pos + len(t)] = t
+                    pos += len(t)
+                codes, uniq = pd.factorize(flat)
+                hvals = np.fromiter(
+                    (
+                        int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+                        for u in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                # (uniq, 60) ±1 contribution matrix; int8 keeps it tiny
+                ubits = (
+                    ((hvals[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+                    * 2 - 1
+                )
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                nonempty = lens > 0
+                # reduceat accumulates in the input dtype: pick the
+                # narrowest that cannot overflow for the longest doc
+                acc = np.int16 if int(lens.max()) < 32767 else np.int64
+                sums = np.add.reduceat(
+                    ubits[codes].astype(acc), starts[nonempty], axis=0
+                )
+                packed = ((sums > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[nonempty] = packed
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "simhash": out.astype(np.int64)}
+            )
+
+    return spread_scan(df, [id_col, text_col]).mapInPandas(
+        fn, f"{id_col} long, simhash long"
     )
 
 
@@ -247,8 +351,12 @@ def near_dup_pairs(
     b, r = optimal_param(threshold, num_perm)
     # shingle construction via the batch kernel (shingles_expr is
     # interpreted per gram — ~20 s/pass at sf1.0 vs <1 s; see
-    # shingle_sets) — hashing stays JVM-side as before
-    sh = shingle_sets(docs, text_col, id_col, shingle_n).withColumn(
+    # shingle_sets) — hashing stays JVM-side as before.
+    # spread=False (measured r06): this pipeline's heavy stages (band
+    # self-join, verify) run post-shuffle and parallelize regardless;
+    # spreading the small signature pass only added per-task overheads
+    # (A/B best-of-3: 1.8 s unspread vs 2.8 s spread at 50k docs).
+    sh = shingle_sets(docs, text_col, id_col, shingle_n, spread=False).withColumn(
         "hashes", F.transform("sh", lambda s: F.xxhash64(s))
     )
     sh = sh.filter(F.size("sh") > 0)
@@ -338,29 +446,50 @@ def allpairs_jaccard_pairs(
     # injective gram mapping, and xxhash64 is injective here up to a
     # 2^-64-per-gram-pair collision (< 1e-10 at this vocabulary; a
     # 128-bit hash is the knob at larger vocabularies).
-    sets = shingle_sets(docs, text_col, id_col, shingle_n, out_col="g").select(
+    raw = shingle_sets(docs, text_col, id_col, shingle_n, out_col="g").select(
         F.col(id_col).alias("_id"),
-        F.sort_array(
-            F.transform("g", lambda s: F.xxhash64(s))
-        ).alias("g"),
+        F.transform("g", lambda s: F.xxhash64(s)).alias("g"),
     ).withColumn("s", F.size("g")).filter(F.col("s") > 0)
-    sets.cache()
 
-    ex = sets.select("_id", "s", F.explode("g").alias("gram"))
-    gram_df = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    # prefix = first (s - ceil(t*s) + 1) grams in (df asc, gram asc)
-    # order; window is per-doc (one shuffle on _id), bounded by doc size
-    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("gram"))
-    prefix = (
-        ex.join(gram_df, "gram")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn") <= F.col("s") - F.ceil(t * F.col("s") - eps) + 1
-        )
-        .select("gram", "_id", "s", "rn")
+    # r06b: GLOBAL DENSE GRAM CODES in (df asc, gram asc) order — the
+    # AllPairs total order becomes plain integer order. Three structural
+    # wins over the r06a hash-array layout, all exactness-preserving
+    # (the code mapping is a bijection that REPRESENTS the chosen global
+    # order; candidates and intersections are invariant):
+    #  1. the per-doc prefix is a HEAD SLICE of the code-sorted array —
+    #     the corpus-wide explode+join+row_number window the prefix pass
+    #     paid per build disappears,
+    #  2. arrays sorted by code mean the verify kernel gets globally
+    #     sorted (pair, code) keys for free and can binary-search-merge
+    #     instead of sorting every batch (np.unique + intersect1d were
+    #     two O(n log n) passes per 10k-pair batch),
+    #  3. codes are int32 (vocab-bounded), halving the broadcast attach.
+    ex0 = raw.select("_id", F.explode("g").alias("gram"))
+    gram_df = ex0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # dictionary-sized single-task sort (tiny: distinct grams only; at
+    # larger vocabularies assign codes with a range-partitioned rank)
+    wd = Window.orderBy(F.asc("df"), F.asc("gram"))
+    gram_dict = gram_df.select(
+        "gram", (F.row_number().over(wd) - 1).cast("int").alias("code")
     )
-    # both sides of the candidate self-join read `prefix`; cached, the
-    # explode+join+window pipeline above runs once instead of twice
+    sets = (
+        ex0.join(F.broadcast(gram_dict), "gram")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("code")).alias("g"))
+        .withColumn("s", F.size("g"))
+    )
+    sets.cache()
+    n_grams_total = gram_dict.count()  # V — the verify kernel's key base
+
+    # prefix = first (s - ceil(t*s) + 1) codes (rarest-first by
+    # construction) — a narrow slice+posexplode over the cached sets,
+    # no shuffle, no window
+    plen = F.col("s") - F.ceil(t * F.col("s") - eps) + 1
+    prefix = sets.select(
+        "_id", "s",
+        F.posexplode(F.slice("g", F.lit(1), plen)).alias("p0", "gram"),
+    ).select("gram", "_id", "s", (F.col("p0") + 1).alias("rn"))
+    # both sides of the candidate self-join read `prefix`
     prefix.cache()
     left = prefix.select(
         F.col("gram"), F.col("_id").alias("a"),
@@ -378,7 +507,9 @@ def allpairs_jaccard_pairs(
     # candidates on the documents corpus at t=0.6).
     alpha = F.ceil(t / (1 + t) * (F.col("sa") + F.col("sb")) - eps)
     cand = (
-        left.join(right, "gram")
+        # shuffle-hash, not sort-merge: both sides are the same cached
+        # 2M-row prefix frame; hashing skips two sorts (guide §3.1).
+        left.join(right.hint("shuffle_hash"), "gram")
         .filter(
             (F.col("a") < F.col("b"))
             # size filter: J >= t forces t*|A| <= |B| <= |A|/t
@@ -391,81 +522,160 @@ def allpairs_jaccard_pairs(
             )
         )
         .select("a", "b")
-        .distinct()
+        # NO pre-verify distinct (measured r06b: multi-gram duplicates
+        # are ~2% of candidates on this corpus, so deduping 10M rows
+        # through an exchange costs more than verifying the dups; the
+        # tiny verified output is deduped instead, below)
     )
     # Verify stage (r06): the candidate volume on boilerplate-heavy
-    # corpora is large (10.9M pairs at sf1.0 for 2.5k true pairs), and
+    # corpora is large (~10M pairs at sf1.0 for ~3k true pairs), and
     # per-pair `array_intersect` over string arrays was the query's
     # dominant cost (~20 s — interpreted, one hash set per pair side).
-    # Candidates attach the (already sorted-int64) gram arrays, and a
+    # Candidates attach the code-sorted int32 gram arrays, and a
     # vectorized Arrow kernel intersects ALL pairs of a batch in one
-    # pass: factorize the batch's hashes to dense local ids, form
-    # (pair, id) keys, one np.intersect1d, one bincount (guide §4.2).
+    # pass. r06b: because arrays are sorted by the GLOBAL dense code,
+    # the batch's (pair, code) keys are already sorted — one
+    # np.searchsorted binary-search merge replaces the np.unique +
+    # np.intersect1d sorts that dominated the r06a kernel (guide §4.2).
     # Jaccard arithmetic is the same int→double division; the >= t gate
-    # moves into the kernel (plain IEEE compare, NaN impossible since
+    # stays in the kernel (plain IEEE compare, NaN impossible since
     # union >= 1).
     id_t = sets.schema["_id"].dataType.simpleString()
-    # Deliberate join strategy for the candidate⋈corpus attach (guide
-    # §3.1): Catalyst has no size estimate for the cached kernel output
-    # and picks SortMergeJoin — sorting 10M+ candidate rows twice. The
-    # doc-count is known (cached), so broadcast the gram arrays while
-    # they fit (50k docs ≈ 20 MB here) and fall back to shuffled-hash
-    # (no sort) beyond broadcast range.
+    # Attach strategy (guide §3.1 + §8): the verify only needs each
+    # doc's code array — a lightweight corpus-wide proxy (~10 MB as
+    # int32 at 50k docs). Within broadcast range, ship the WHOLE store
+    # once as a spark broadcast (offsets + one flat code buffer) and
+    # send ONLY (a, b) pairs through Arrow: the r06a broadcast-hash
+    # attach re-materialized both arrays per candidate row — ~8 GB of
+    # Arrow traffic for 10M pairs — where the pair stream is 160 MB.
+    # Beyond broadcast range, fall back to the shuffled-hash attach.
     n_docs = sets.count()
-    ga = sets.select(F.col("_id").alias("a"), F.col("g").alias("g_a"))
-    gb = sets.select(F.col("_id").alias("b"), F.col("g").alias("g_b"))
+    V = np.int64(n_grams_total + 1)
     if n_docs <= 500_000:
-        ga, gb = F.broadcast(ga), F.broadcast(gb)
+        spark = sets.sparkSession
+        pdf = sets.select("_id", "g").toPandas()  # Arrow path, ~10 MB
+        ids = pdf["_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        arrs = pdf["g"].to_numpy()[order]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        flat = (
+            np.concatenate([np.asarray(a, np.int64) for a in arrs])
+            if len(arrs) else np.array([], np.int64)
+        )
+        bc = spark.sparkContext.broadcast((ids, lens, offs, flat))
+
+        def verify_fn(batches):
+            import pyarrow as paw
+
+            b_ids, b_lens, b_offs, b_flat = bc.value
+
+            def gather(doc_col):
+                idx = np.searchsorted(b_ids, doc_col)
+                ln = b_lens[idx]
+                st = b_offs[idx]
+                tot = int(ln.sum())
+                pos = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(ln) - ln, ln)
+                    + np.repeat(st, ln)
+                )
+                return ln, b_flat[pos]
+
+            for tbl in batches:
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                aa = tbl.column(0).to_numpy(zero_copy_only=False)
+                bb = tbl.column(1).to_numpy(zero_copy_only=False)
+                la, flat_a = gather(aa)
+                lb, flat_b = gather(bb)
+                p_a = np.repeat(np.arange(n, dtype=np.int64), la)
+                p_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+                # globally sorted keys: pair index nondecreasing, each
+                # array code-sorted — binary-search merge, no batch sort
+                k_a = p_a * V + flat_a
+                k_b = p_b * V + flat_b
+                if len(k_b):
+                    pos = np.searchsorted(k_b, k_a)
+                    pos[pos == len(k_b)] = 0  # valid slot; equality fails
+                    matched = k_b[pos] == k_a
+                    inter = np.bincount(p_a[matched], minlength=n)
+                else:
+                    inter = np.zeros(n, dtype=np.int64)
+                jacc = inter / (la + lb - inter)
+                keep = jacc >= t
+                if not keep.any():
+                    continue
+                yield paw.RecordBatch.from_arrays(
+                    [
+                        tbl.column(0).filter(paw.array(keep)),
+                        tbl.column(1).filter(paw.array(keep)),
+                        paw.array(jacc[keep]),
+                    ],
+                    names=["a", "b", "jaccard"],
+                )
+
+        verified = cand.mapInArrow(
+            verify_fn, f"a {id_t}, b {id_t}, jaccard double"
+        )
     else:
+        ga = sets.select(F.col("_id").alias("a"), F.col("g").alias("g_a"))
+        gb = sets.select(F.col("_id").alias("b"), F.col("g").alias("g_b"))
         ga, gb = ga.hint("shuffle_hash"), gb.hint("shuffle_hash")
 
-    def verify_fn(batches):
-        # mapInArrow, not mapInPandas: the list columns arrive as ONE
-        # flat int64 buffer + offsets per batch — no per-row numpy
-        # object materialization for 10M+ pairs (guide §4.2)
-        import pyarrow as paw
+        def verify_attached_fn(batches):
+            import pyarrow as paw
 
-        def _flat(col):
-            off = col.offsets.to_numpy().astype(np.int64)
-            off = off - off[0]
-            return np.diff(off), col.flatten().to_numpy(), off
+            def _flat(col):
+                off = col.offsets.to_numpy().astype(np.int64)
+                off = off - off[0]
+                return np.diff(off), col.flatten().to_numpy(), off
 
-        for tbl in batches:
-            n = tbl.num_rows
-            if n == 0:
-                continue
-            la, flat_a, _ = _flat(tbl.column(2))
-            lb, flat_b, _ = _flat(tbl.column(3))
-            uniq, inv = np.unique(
-                np.concatenate([flat_a, flat_b]), return_inverse=True
-            )
-            u = np.int64(len(uniq) + 1)
-            p_a = np.repeat(np.arange(n, dtype=np.int64), la)
-            p_b = np.repeat(np.arange(n, dtype=np.int64), lb)
-            k_a = p_a * u + inv[: len(flat_a)]
-            k_b = p_b * u + inv[len(flat_a):]
-            shared = np.intersect1d(k_a, k_b, assume_unique=True)
-            inter = np.bincount(shared // u, minlength=n)
-            jacc = inter / (la + lb - inter)
-            keep = jacc >= t
-            if not keep.any():
-                continue
-            yield paw.RecordBatch.from_arrays(
-                [
-                    tbl.column(0).filter(paw.array(keep)),
-                    tbl.column(1).filter(paw.array(keep)),
-                    paw.array(jacc[keep]),
-                ],
-                names=["a", "b", "jaccard"],
-            )
+            for tbl in batches:
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                la, flat_a, _ = _flat(tbl.column(2))
+                lb, flat_b, _ = _flat(tbl.column(3))
+                p_a = np.repeat(np.arange(n, dtype=np.int64), la)
+                p_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+                k_a = p_a * V + flat_a
+                k_b = p_b * V + flat_b
+                if len(k_b):
+                    pos = np.searchsorted(k_b, k_a)
+                    pos[pos == len(k_b)] = 0
+                    matched = k_b[pos] == k_a
+                    inter = np.bincount(p_a[matched], minlength=n)
+                else:
+                    inter = np.zeros(n, dtype=np.int64)
+                jacc = inter / (la + lb - inter)
+                keep = jacc >= t
+                if not keep.any():
+                    continue
+                yield paw.RecordBatch.from_arrays(
+                    [
+                        tbl.column(0).filter(paw.array(keep)),
+                        tbl.column(1).filter(paw.array(keep)),
+                        paw.array(jacc[keep]),
+                    ],
+                    names=["a", "b", "jaccard"],
+                )
 
-    verified = (
-        cand.join(ga, "a")
-        .join(gb, "b")
-        .select("a", "b", "g_a", "g_b")
-        .mapInArrow(verify_fn, f"a {id_t}, b {id_t}, jaccard double")
-    )
-    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        verified = (
+            cand.join(ga, "a")
+            .join(gb, "b")
+            .select("a", "b", "g_a", "g_b")
+            .mapInArrow(verify_attached_fn, f"a {id_t}, b {id_t}, jaccard double")
+        )
+    # candidates skip the pre-verify distinct, so a pair reachable via
+    # k prefix grams is verified k times — identical rows, collapsed
+    # here on the (tiny) verified output
+    return verified.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).distinct()
 
 
 FP_BASE = 257                 # rolling polynomial base (> max byte)
@@ -525,7 +735,7 @@ def rolling_min_fingerprint(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread_scan(df, [id_col, text_col]).mapInPandas(
         fn, f"{id_col} long, fingerprint long"
     )
 

@@ -69,9 +69,14 @@ def media_features(
 ) -> DataFrame:
     """Binary payloads → typed media feature rows.
 
-    Partitioning: repartition by a payload-size-agnostic bucket of the id
+    Partitioning: repartition by a payload-size-agnostic hash of the id
     so decode work (the expensive step at 100 TB) spreads evenly
-    regardless of how the docs table is laid out.
+    regardless of how the docs table is laid out. r06: hash the raw id
+    (full cardinality) instead of a precomputed ``pmod(hash, buckets)``
+    bucket — with only ``buckets`` distinct synthetic values, hash
+    collisions left ~1/e of the partitions empty and others with 2-3
+    buckets of work (guide §2.5 "synthetic partitioning keys with too
+    few distinct values").
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,7 +124,7 @@ def media_features(
             )
 
     return (
-        df.repartition(buckets, F.pmod(F.xxhash64(id_col), F.lit(buckets)))
+        df.repartition(buckets, F.col(id_col))
         .select(id_col, kind_col, payload_col)
         .mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
     )
@@ -175,7 +180,7 @@ def sample_frames(
             )
 
     return (
-        df.repartition(buckets, F.pmod(F.xxhash64(id_col), F.lit(buckets)))
+        df.repartition(buckets, F.col(id_col))
         .select(id_col, nframes_col, payload_col)
         .mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
     )
@@ -234,7 +239,7 @@ def resize_images(
             )
 
     return (
-        df.repartition(buckets, F.pmod(F.xxhash64(id_col), F.lit(buckets)))
+        df.repartition(buckets, F.col(id_col))
         .select(id_col, payload_col)
         .mapInPandas(fn, RESIZE_SCHEMA)
     )

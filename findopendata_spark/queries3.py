@@ -7,9 +7,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from findopendata_spark.dedup import (
-    md5_token_hashes_expr,
+    md5_simhash64,
     near_dup_pairs,
-    simhash64,
+    spread_scan,
     tokens_expr,
 )
 from findopendata_spark.functions.text import sanitize_filename, strip_html
@@ -49,17 +49,21 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``transform``), the bit-sum fold is the numpy ``simhash64`` kernel.
     (xxhash64-based SimHash — the cheaper production variant — keeps its
     property tests in tests/test_modules.py.)
+
+    r06: served by the fused ``md5_simhash64`` kernel — tokenize + md5 +
+    sign-fold in one ``mapInPandas`` pass with per-batch token
+    factorization (md5 once per distinct token), replacing the
+    interpreted JVM ``transform(md5+conv)`` (guide §4.2; bit-exact).
     """
     docs = load(spark, sf_dir, "documents")
-    hashes = docs.select(
-        "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
-    )
-    return simhash64(hashes)
+    return md5_simhash64(docs)
 
 
 def q24_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/punctuation/stopword quality gates + composite score."""
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-row-group scan: the regex/token feature
+    # expressions otherwise evaluate on one task (guide §2.5)
+    docs = spread_scan(load(spark, sf_dir, "documents"), ["doc_id", "text"])
     f = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -72,7 +76,7 @@ def q24_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic, aggregated per predicted lang."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_scan(load(spark, sf_dir, "documents"), ["text"])
     return (
         docs.select(lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
@@ -87,7 +91,7 @@ def q26_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split on ``\\s+``) so the engine and oracle tokenize identically —
     the single-literal-space split both sides used before was a latent
     divergence on multi-space runs (ADVICE r01/r02)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_scan(load(spark, sf_dir, "documents"), ["doc_id", "text"])
     return docs.select(
         "doc_id",
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),

@@ -58,9 +58,14 @@ def bm25_rank(
         return docs.select(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)
+    from findopendata_spark.dedup import spread_scan
+
     toks = tokens(F.col(text_col))
     cnts = (
-        docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        # spread the single-row-group docs scan so the tokenize+explode
+        # +partial-agg stage parallelizes (guide §2.5)
+        spread_scan(docs, [id_col, text_col])
+        .select(F.col(id_col), F.explode(toks).alias("_tok"))
         .filter(F.col("_tok").isin(terms))
         .groupBy(id_col)
         .agg(

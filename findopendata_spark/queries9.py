@@ -9,8 +9,7 @@ from pyspark.sql import functions as F
 
 from findopendata_spark.dedup import (
     allpairs_jaccard_pairs,
-    md5_token_hashes_expr,
-    simhash64,
+    md5_simhash64,
     simhash_near_dup_pairs,
 )
 
@@ -42,14 +41,13 @@ def q49_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it pushes down into the parquet scan instead of re-evaluating the
     # md5 token transform inside the predicate (VERDICT r04 noted the
     # extra token-array scan as q49's regression).
-    hashes = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
-    )
-    # the band self-join in simhash_near_dup_pairs references the
-    # signature frame on both sides; cached, the md5 token transform +
-    # numpy simhash kernel run ONCE instead of once per join side
-    # (measured r06: q49 10.4 s -> ~4 s at sf1.0, guide §2.4)
-    sigs = simhash64(hashes)
+    # r06: signatures come from the fused md5_simhash64 kernel (tokenize
+    # + md5-per-distinct-token + sign fold in one mapInPandas pass,
+    # replacing the interpreted JVM transform(md5+conv) — guide §4.2).
+    # The band self-join references the signature frame on both sides;
+    # cached, the kernel runs ONCE instead of once per join side
+    # (measured r06: q49 10.4 s -> ~4 s at sf1.0, guide §2.4).
+    sigs = md5_simhash64(docs.filter(F.col("text").isNotNull()))
     sigs.cache()
     return simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4)
 

@@ -81,7 +81,17 @@ def trigram_index(spark: SparkSession, sf_dir: str, field: str) -> dict:
     key = (spark.sparkContext.applicationId, sf_dir, field)
     if key in _CACHE:
         return _CACHE[key]
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from findopendata_spark.dedup import spread_scan
+
+    # single-row-group parquet = single-task scan (guide §2.5): spread
+    # the docs BEFORE the interpreted trigram transform, so the build
+    # parallelizes AND the cached postings/sizes inherit >= parallelism
+    # partitions — every warm probe then scans the cache in parallel
+    # instead of walking all postings on one core.
+    docs = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["doc_id", "text"],
+    )
     grams = _field_grams(docs, field)
     postings = grams.select(
         "doc_id", F.explode("g").alias("gram")

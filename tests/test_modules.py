@@ -461,6 +461,33 @@ def test_simhash_near_dup_pairs_recall_exact(spark):
     sigs.unpersist()
 
 
+def test_md5_simhash64_fused_kernel_matches_expression_path(spark):
+    """The r06 fused (tokenize+md5+fold) mapInPandas kernel must be
+    bit-identical to simhash64(md5_token_hashes_expr(text)) — including
+    whitespace-only text (single '' token) and mixed-length batches."""
+    from findopendata_spark.dedup import md5_simhash64, md5_token_hashes_expr
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).unionByName(
+        spark.createDataFrame(
+            [(100001, "   "), (100002, "Tab\tand  Spaces "),
+             (100003, "single"), (100004, "a b c d e f g h i j " * 40)],
+            "doc_id long, text string",
+        ).select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("srcX").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    hashes = docs.select(
+        "doc_id", md5_token_hashes_expr(F.col("text")).alias("hashes")
+    )
+    expect = {r["doc_id"]: r["simhash"] for r in simhash64(hashes).collect()}
+    got = {r["doc_id"]: r["simhash"] for r in md5_simhash64(docs).collect()}
+    assert got == expect and len(got) == 504
+
+
 def test_simhash_bucket_cap_bounds_adversarial_corpus(spark):
     """Skew guard (VERDICT r03 item 3): 10k docs collapsing onto ONE
     signature (the zero/boilerplate-doc web-scale failure mode) would

@@ -40,13 +40,19 @@ from findopendata_spark.crawler import graph as G
 
 @dataclass
 class FetchResult:
-    """Vectorized per-batch fetch output (see module docstring contract)."""
+    """Vectorized per-batch fetch output (see module docstring contract).
+
+    ``kind``/``text``/``media_ref`` may be numpy object arrays OR
+    ``pyarrow.Array`` string arrays — the wave's fetch wrapper consumes
+    Arrow arrays zero-conversion (the synthetic adapter produces them
+    natively; adapters doing per-row Python, like the HTTP one, return
+    object arrays and pay one conversion)."""
 
     failed: np.ndarray        # bool[n] — permanent failure after retries
     doc_idx: np.ndarray       # int64[n_spans], full-batch index, nondecr.
-    kind: np.ndarray          # object[n_spans]
-    text: np.ndarray          # object[n_spans]
-    media_ref: np.ndarray     # object[n_spans]
+    kind: object              # object[n_spans] or pa.Array<string>
+    text: object              # object[n_spans] or pa.Array<string>
+    media_ref: object         # object[n_spans] or pa.Array<string>
     offset: np.ndarray        # int32[n_spans], increasing within a doc
     rich: np.ndarray | None   # float64[n] or None (failed rows = 0.0)
     attempts: np.ndarray | None = None  # int16[n] attempts actually spent
@@ -69,7 +75,7 @@ class SyntheticFetchAdapter:
         h = np.asarray(url_hashes, dtype=np.uint64)
         failed = G.fetch_failure_mask(h, gcfg)
         ok = np.nonzero(~failed)[0]
-        doc_idx, kind, text, media_ref, offset = G.synth_fetch_pandas(
+        doc_idx, kind, text, media_ref, offset = G.synth_fetch_arrow(
             pd.Series(h[ok]), pd.Series(np.asarray(depths)[ok]), gcfg
         )
         # remap ok-subset doc indices to full-batch indices (ok is sorted

@@ -278,3 +278,107 @@ def synth_fetch_pandas(url_hash: pd.Series, depth: pd.Series, cfg: GraphConfig):
     media_ref = np.where(is_media, media, None)
     offset = slot.astype(np.int32)
     return doc_idx, kind, text.astype(object), media_ref.astype(object), offset
+
+
+def synth_fetch_arrow(url_hash: pd.Series, depth: pd.Series, cfg: GraphConfig):
+    """Arrow-native :func:`synth_fetch_pandas` — identical output bytes,
+    an order of magnitude less Python time.
+
+    The pandas version spends its whole budget in object-dtype string
+    machinery (profiled: ``str.cat`` + ``astype(str)`` ≈ 8 s per 100k
+    URLs single-core — ~123 core-s per 1.5M-URL wave, the reason the
+    fetch stage's JVM sat 91% idle waiting on python workers). Here every
+    string is built by vectorized Arrow C++ kernels: int→string casts,
+    ``utf8_lpad`` for the zero-padded ids, dictionary decode for the
+    bounded host/segment vocabularies, one ``binary_join_element_wise``
+    per payload class, and ``if_else`` to interleave the three span
+    kinds. Numeric span layout (splitmix64 mixing, counts, slots) is the
+    same numpy as before. Returns (doc_idx np.int64, kind pa.Array,
+    text pa.Array, media_ref pa.Array, offset np.int32).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    h = url_hash.to_numpy(dtype=np.uint64, copy=False)
+    n = len(h)
+    if n == 0:
+        empty = pa.array([], type=pa.string())
+        return (np.array([], dtype=np.int64), empty, empty, empty,
+                np.array([], dtype=np.int32))
+
+    r_links = mix(h, 0xA11CE)
+    n_links = (
+        cfg.out_links_min
+        + (r_links % np.uint64(cfg.out_links_max - cfg.out_links_min + 1))
+    ).astype(np.int64)
+    has_media = page_has_media(h, cfg)
+    n_text = np.full(n, cfg.n_text_spans, dtype=np.int64)
+    n_spans = n_text + has_media.astype(np.int64) + n_links
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_spans)
+    starts = np.concatenate(([0], np.cumsum(n_spans)[:-1]))
+    slot = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx]
+
+    d_text = n_text[doc_idx]
+    d_media = has_media[doc_idx].astype(np.int64)
+    is_text = slot < d_text
+    is_media = (slot >= d_text) & (slot < d_text + d_media)
+    is_link = slot >= d_text + d_media
+    link_no = np.where(is_link, slot - d_text - d_media, 0)
+
+    h_span = h[doc_idx]
+    # --- link targets (same mixing as the pandas path) --------------------
+    t = mix(h_span ^ (link_no.astype(np.uint64) + np.uint64(1)) * _SM_GAMMA, 0x11)
+    tid = (t % np.uint64(cfg.graph_size)).astype(np.int64)
+    is_hot = ((t >> np.uint64(32)) % np.uint64(100)) < np.uint64(cfg.hot_pct)
+    is_private = ((t >> np.uint64(16)) % np.uint64(100)) < np.uint64(cfg.private_pct)
+    host_j = ((t >> np.uint64(8)) % np.uint64(cfg.n_data_hosts)).astype(np.int64)
+
+    def _s(x):  # int64 numpy -> arrow string
+        return pc.cast(pa.array(x), pa.string())
+
+    host_codes = np.where(is_hot, cfg.n_data_hosts, host_j).astype(np.int32)
+    host_vocab = pa.array(
+        [f"data-{j}.example.net" for j in range(cfg.n_data_hosts)]
+        + [cfg.hot_host]
+    )
+    host_str = pc.cast(
+        pa.DictionaryArray.from_arrays(pa.array(host_codes), host_vocab),
+        pa.string(),
+    )
+    seg_str = pc.cast(
+        pa.DictionaryArray.from_arrays(
+            pa.array(is_private.astype(np.int32)), pa.array(["/d/", "/private/"])
+        ),
+        pa.string(),
+    )
+    link_url = pc.binary_join_element_wise(
+        "https://", host_str, seg_str,
+        pc.utf8_lpad(_s(tid), width=12, padding="0"), "",
+    )
+
+    # --- text / media payloads -------------------------------------------
+    word = mix(h_span ^ slot.astype(np.uint64), 0x7E)
+    prose = pc.binary_join_element_wise(
+        "title page ", _s(h_span.astype(np.int64)),
+        " span ", _s(slot),
+        " token ", _s((word % np.uint64(9973)).astype(np.int64)), "",
+    )
+    media = pc.binary_join_element_wise(
+        "blob://media/", _s((h_span % np.uint64(10**9)).astype(np.int64)),
+        "/img.png", "",
+    )
+
+    pa_text = pa.array(is_text)
+    pa_media = pa.array(is_media)
+    null_str = pa.scalar(None, pa.string())
+    kind = pc.if_else(
+        pa_text, pa.scalar("text"),
+        pc.if_else(pa_media, pa.scalar("media"), pa.scalar("link")),
+    )
+    text = pc.if_else(
+        pa_text, prose, pc.if_else(pa.array(is_link), link_url, null_str)
+    )
+    media_ref = pc.if_else(pa_media, media, null_str)
+    offset = slot.astype(np.int32)
+    return doc_idx, kind, text, media_ref, offset

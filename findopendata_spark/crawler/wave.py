@@ -114,17 +114,30 @@ def init_state(
         .drop("disallow_prefix")
     )
     seeds = seeds.withColumn("url_hash", F.xxhash64("url_canon"))
+    # r06: the frontier AND seen writes both consume `seeds`, whose plan
+    # contains the bulk generator's dropDuplicates shuffle — uncached,
+    # wave-0 paid that shuffle twice, serially. One localCheckpoint +
+    # concurrent staging halves the init tail that sits inside every
+    # bench leg's timed wall (guide §2.6 overlap independent jobs).
+    seeds = seeds.localCheckpoint()
     frontier = seeds.select("url_canon", "depth", "priority", "url_hash")
     seen0 = seeds.select(
         "url_canon", "url_hash", F.lit(0).alias("first_wave")
     )
     host_state = spark.createDataFrame([], "host string, last_fetch_wave int")
-    staged = {
-        "frontier": cat.stage(frontier, "frontier", 0),
-        "host_state": cat.stage(host_state, "host_state", 0),
-        "robots": cat.stage(robots, "robots", 0),
-    }
-    cat.stage_append(seen0, "seen", 0)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex0:
+        f_frontier = ex0.submit(cat.stage, frontier, "frontier", 0)
+        f_hosts = ex0.submit(cat.stage, host_state, "host_state", 0)
+        f_robots = ex0.submit(cat.stage, robots, "robots", 0)
+        f_seen = ex0.submit(cat.stage_append, seen0, "seen", 0)
+        staged = {
+            "frontier": f_frontier.result(),
+            "host_state": f_hosts.result(),
+            "robots": f_robots.result(),
+        }
+        f_seen.result()
     cat.commit_wave(0, staged)
     # parquet-footer count of the committed snapshot (metadata-only scan):
     # wave 1's adaptive top-k needs the frontier size up front
@@ -172,11 +185,22 @@ def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False,
             else np.zeros(n, dtype=np.int64)
         )
         offsets = np.concatenate(([0], np.cumsum(counts)))
+
+        # adapters may hand back Arrow string arrays directly (the
+        # synthetic one builds them with C++ kernels — see
+        # graph.synth_fetch_arrow); only object arrays pay a conversion
+        def _pa_str(x):
+            return (
+                x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                else x if isinstance(x, pa.Array)
+                else pa.array(x, type=pa.string())
+            )
+
         struct = pa.StructArray.from_arrays(
             [
-                pa.array(res.kind, type=pa.string()),
-                pa.array(res.text, type=pa.string()),
-                pa.array(res.media_ref, type=pa.string()),
+                _pa_str(res.kind),
+                _pa_str(res.text),
+                _pa_str(res.media_ref),
                 pa.array(res.offset, type=pa.int32()),
             ],
             names=["kind", "text", "media_ref", "offset"],
@@ -184,12 +208,18 @@ def _make_fetch_fn(gcfg: G.GraphConfig, with_rich: bool = False,
         spans = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()), struct
         )
-        doc_ids = "doc-" + pd.Series(h).astype(str)  # unsigned rendering
+        # unsigned doc-id rendering via Arrow uint64→string cast (the
+        # pandas astype(str) path was per-row object work)
+        import pyarrow.compute as pc
+
+        doc_ids = pc.binary_join_element_wise(
+            "doc-", pc.cast(pa.array(h), pa.string()), ""
+        )
         cols = [
             tbl.column("url_canon"),
             tbl.column("host"),
             tbl.column("depth"),
-            pa.array(doc_ids, type=pa.string()),
+            doc_ids,
             pa.array(res.failed),
             spans,
         ]
@@ -337,6 +367,12 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         mode == "auto"
         and (fcount is None or fcount > cfg.hot_host_salt * budget)
     )
+    # (r06 note: a "rank shortcut" — probe per-host counts, skip the
+    # window when every host fits the budget — was implemented and
+    # REVERTED: A/B'd at both legs it cost 1.5-2 s MORE than the window
+    # (select is one fused job: scan+joins+sort+checkpoint; splitting it
+    # into probe-then-checkpoint added a serial job's fixed latency,
+    # while the per-host sorts were already parallel and cheap).
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_canon"))
     if use_pre:
         w_pre = Window.partitionBy("host", "_ssalt").orderBy(

@@ -30,6 +30,22 @@ from pyspark.sql import functions as F
 from findopendata_spark.sketch.minhash import MAX_HASH, MinHashPermutations
 
 
+def ensure_cached(df: DataFrame) -> DataFrame:
+    """``cache()`` unless an identical plan is already cached.
+
+    Repeated invocations of the same query rebuild identical plans;
+    Spark's CacheManager matches and REUSES the first run's blocks, but
+    an unconditional ``.cache()`` logs a ``CacheManager: Asked to cache
+    already cached data`` warning per call (8 of them in the driver's
+    stdout tail budget last round). ``storageLevel`` performs the same
+    canonicalized-plan lookup, so this guard is reuse-preserving."""
+    from pyspark.storagelevel import StorageLevel
+
+    if df.storageLevel == StorageLevel.NONE:
+        df.cache()
+    return df
+
+
 def spread_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Round-robin repartition to the session's default parallelism —
     the single-row-group guard (guide §2.5 "one huge unsplittable
@@ -360,7 +376,7 @@ def near_dup_pairs(
         "hashes", F.transform("sh", lambda s: F.xxhash64(s))
     )
     sh = sh.filter(F.size("sh") > 0)
-    sh.cache()
+    ensure_cached(sh)
     sigs = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(b - 1)),
@@ -372,7 +388,7 @@ def near_dup_pairs(
     # the band self-join below references `bands` twice; without a cache
     # the whole signature pipeline (minhash kernel + band hashing) is
     # evaluated once per side (guide §2.4 — share one computation)
-    bands.cache()
+    ensure_cached(bands)
     if bucket_cap is not None:
         wcnt = Window.partitionBy("band_idx", "band_hash")
         bands = bands.withColumn("bucket_n", F.count(F.lit(1)).over(wcnt)).filter(
@@ -478,7 +494,7 @@ def allpairs_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("code")).alias("g"))
         .withColumn("s", F.size("g"))
     )
-    sets.cache()
+    ensure_cached(sets)
     n_grams_total = gram_dict.count()  # V — the verify kernel's key base
 
     # prefix = first (s - ceil(t*s) + 1) codes (rarest-first by
@@ -490,7 +506,7 @@ def allpairs_jaccard_pairs(
         F.posexplode(F.slice("g", F.lit(1), plen)).alias("p0", "gram"),
     ).select("gram", "_id", "s", (F.col("p0") + 1).alias("rn"))
     # both sides of the candidate self-join read `prefix`
-    prefix.cache()
+    ensure_cached(prefix)
     left = prefix.select(
         F.col("gram"), F.col("_id").alias("a"),
         F.col("s").alias("sa"), F.col("rn").alias("pa"),

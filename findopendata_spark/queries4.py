@@ -77,7 +77,8 @@ def bm25_rank(
             ]
         )
     )
-    cnts.cache()  # reused: df stats + scoring (hits-only, small)
+    from findopendata_spark.dedup import ensure_cached
+    ensure_cached(cnts)  # reused: df stats + scoring (hits-only, small)
     n = float(docs.count())
     stats = cnts.agg(
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
@@ -105,15 +106,34 @@ def q30_region_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
-    nation = F.broadcast(load(spark, sf_dir, "nation"))
-    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     part = load(spark, sf_dir, "part")
+    # r06 (guide §3.1): propagate the one-region filter UP the fk chain
+    # as broadcasts instead of shuffling lineitem⋈orders. Every dim join
+    # here is a key-unique fk lookup used only as a filter (no dim
+    # columns survive to the output), so region→nation→customer→orders
+    # reduce to key lists that stay broadcast-sized (orders keys ≈ 1/|R|
+    # of orders), and lineitem is never shuffled at all — its only wide
+    # operation is the 25-group final aggregate. Same join semantics:
+    # key-unique inner fk joins neither duplicate nor drop beyond the
+    # filter, so the aggregated multiset is identical.
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    asia_cust = customer.join(
+        F.broadcast(asia_nations),
+        customer.c_nationkey == asia_nations.n_nationkey,
+    ).select("c_custkey")
+    asia_orders = orders.join(
+        F.broadcast(asia_cust), orders.o_custkey == asia_cust.c_custkey
+    ).select("o_orderkey")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .join(part, li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(asia_orders), li.l_orderkey == asia_orders.o_orderkey)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
         .groupBy("p_brand")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -163,7 +183,11 @@ def q32_resource_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field pulls with defaults (C12, ``metadata.py:48-67``):
     extract props.k, bucket it, aggregate."""
-    ev = load(spark, sf_dir, "events")
+    from findopendata_spark.dedup import spread_scan
+
+    # spread the single-row-group events scan: the per-row JSON parse
+    # otherwise runs on one task (guide §2.5)
+    ev = spread_scan(load(spark, sf_dir, "events"), ["event_type", "props"])
     k = F.coalesce(
         F.get_json_object("props", "$.k").try_cast("long"), F.lit(-1)
     )

@@ -48,7 +48,8 @@ def q49_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached, the kernel runs ONCE instead of once per join side
     # (measured r06: q49 10.4 s -> ~4 s at sf1.0, guide §2.4).
     sigs = md5_simhash64(docs.filter(F.col("text").isNotNull()))
-    sigs.cache()
+    from findopendata_spark.dedup import ensure_cached
+    ensure_cached(sigs)
     return simhash_near_dup_pairs(sigs, max_hamming=3, n_bands=4)
 
 

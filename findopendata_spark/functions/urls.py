@@ -19,6 +19,51 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# r06: already-canonical fast path.
+#
+# The canonicalizer is the hottest scalar in the engine (one eval per
+# extracted link occurrence, ~24M/wave at the XL bench wave; 10^10 at the
+# production shape) — and in a steady-state crawl MOST link occurrences
+# are ALREADY in canonical form (lowercase scheme/host, no default port,
+# no fragment, no trailing slash, no query), because well-behaved pages
+# link canonically. Canonicalization is idempotent, so a row that can be
+# *proven* canonical with a few flat string scans can skip the 4-way
+# ``parse_url`` (java.net.URI) decomposition entirely. The guard below is
+# a SUFFICIENT condition (conservative: any '?'/'#'/uppercase/extra ':'
+# falls through to the full path), built from whole-stage-codegen'd
+# single-pass scans — measured ~8x cheaper than the URI decomposition.
+# A first attempt replaced parse_url with a chained substring_index
+# splitter instead; it measured 3x SLOWER than parse_url because every
+# derived component re-embeds its parents in the expression tree and
+# Catalyst CSE does not fire across the nesting — the guarded
+# passthrough keeps the URI path as the one-and-only decomposition.
+# Byte-equality of fast vs URI-only over the messy component space
+# (incl. every canonical fixed point) is pinned by
+# tests/test_url_properties.py; ``canonicalize_url_uri`` below is that
+# differential test's oracle and the fallback branch here.
+# ---------------------------------------------------------------------------
+
+
+def _is_canonical_expr(url: Column) -> Column:
+    """True only when ``canonicalize_url_uri(url) == url`` is guaranteed:
+    lowercase http(s) scheme + non-empty authority, whole string already
+    lowercase (stricter than needed — path case would be preserved — but
+    a one-scan test), no query/fragment/space, no port or userinfo colon
+    beyond the scheme's, and no trailing slash."""
+    return (
+        (url.startswith("http://") | url.startswith("https://"))
+        & ~url.startswith("http:///")
+        & ~url.startswith("https:///")
+        & (F.instr(url, "?") == 0)
+        & (F.instr(url, "#") == 0)
+        & (F.instr(url, " ") == 0)
+        & ~url.endswith("/")
+        & (url == F.lower(url))
+        # exactly the scheme's ':' — no port, no userinfo password
+        & (F.length(url) - F.length(F.replace(url, F.lit(":"), F.lit(""))) == 1)
+    )
+
 
 def url_host(url: Column) -> Column:
     """Lower-cased host without port — the politeness / sharding key.
@@ -32,10 +77,24 @@ def url_host(url: Column) -> Column:
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL as a single deterministic column expression.
 
-    Built on ``parse_url`` (native URI splitter) rather than a regex
-    chain: at 10^10 URLs the canonicalizer is the hottest scalar in the
-    engine. Only two tiny anchored regexes remain (default-port drop).
-    """
+    Guarded passthrough: provably-canonical rows (the common case on
+    crawl link streams) skip the URI decomposition; everything else runs
+    the full r05 path. CaseWhen evaluates the expensive branch only on
+    guard misses."""
+    return F.when(_is_canonical_expr(url), url).otherwise(
+        canonicalize_url_uri(url)
+    )
+
+
+def url_host_uri(url: Column) -> Column:
+    """URI-based reference implementation (differential-test oracle)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def canonicalize_url_uri(url: Column) -> Column:
+    """URI-based reference implementation (differential-test oracle):
+    the r05 production path, kept to pin byte-equality of the substring
+    splitter above."""
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     hostport = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
     # drop default ports

@@ -8,7 +8,11 @@ import itertools
 
 from pyspark.sql import functions as F
 
-from findopendata_spark.functions.urls import canonicalize_url, url_host
+from findopendata_spark.functions.urls import (
+    canonicalize_url,
+    canonicalize_url_uri,
+    url_host,
+)
 
 SCHEMES = ["http", "https", "HTTP", "HtTpS"]
 HOSTS = ["Example.ORG", "a.b.co", "data-7.example.net", "X9.example.org"]
@@ -65,3 +69,49 @@ def test_canonicalize_idempotent_and_invariants(spark):
     # class maps to ONE canonical form
     canon = {r["c1"] for r in out}
     assert len(canon) < len(urls)  # real collapsing happened
+
+
+def test_guarded_canonicalizer_matches_uri_reference(spark):
+    """r06 differential test: the guarded passthrough canonicalizer must
+    be byte-identical to the unguarded r05 java.net.URI implementation
+    over an EXTENDED messy component space (userinfo, non-http schemes,
+    odd ports, empty/dup-? queries, fragment edges, empty authority) AND
+    over every canonical fixed point of that space (the rows where the
+    fast-path guard actually fires)."""
+    schemes = ["http", "https", "HTTP", "HtTpS", "ftp"]
+    hosts = ["Example.ORG", "a.b.co", "data-7.example.net",
+             "127.0.0.1", "User:pw@Host.COM"]
+    ports = ["", ":80", ":443", ":8080", ":980"]
+    paths = ["", "/", "/d/000000000042", "/A/b/C/", "/x//y/", "///",
+             "/private/x"]
+    queries = ["", "?b=2&a=1", "?a=1&a=0", "?", "?a?b"]
+    frags = ["", "#sec", "#f?x=1"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{f}"
+        for s, h, po, pa, q, f in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ] + ["http:///x", "https:///",
+         "https://hot.example.net/d/000000000007"]
+    # (malformed URLs — "http://", embedded spaces, scheme-less strings —
+    # make ANSI-mode parse_url THROW, identically with or without the
+    # guard, so they cannot appear in a collect-and-compare corpus)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    # round 1: messy inputs; round 2: their canonical forms (fast-path
+    # rows) — both must agree with the unguarded reference
+    canon = (
+        df.select(canonicalize_url(F.col("url")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+    )
+    for frame in (df, canon):
+        bad = (
+            frame.select(
+                "url",
+                canonicalize_url(F.col("url")).alias("fast"),
+                canonicalize_url_uri(F.col("url")).alias("uri"),
+            )
+            .filter(~F.col("fast").eqNullSafe(F.col("uri")))
+            .collect()
+        )
+        assert bad == [], bad[:5]

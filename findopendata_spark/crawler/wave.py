@@ -299,10 +299,14 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
     _t0 = _time.time()
 
     _n_part = _wave_partitions(spark, state)
+    _prev_part = None
     if _n_part is not None:
-        # session-global, but every wave (and every other crawl in the
-        # session) recomputes it; non-crawl work in the same session is
-        # unaffected semantically — partition count never changes results
+        # session conf is the only per-wave override channel; snapshot
+        # and restore it (ADVICE r05) so non-crawl SQL in the same
+        # session never inherits a frontier-derived partition count.
+        # Partition count never changes results, so the background
+        # seen-delta job racing the restore is at most a perf wobble.
+        _prev_part = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(_n_part))
 
     def _mark(label: str) -> None:
@@ -519,7 +523,12 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         # the fetch UDF, so no sort is needed).
         f_index: list = []
         for field in getattr(cfg, "index_fields", ()) or ():
-            from findopendata_spark.sketch.trigram_index import _field_grams
+            # TOTAL grams (ADVICE r05): recrawled docs that shrank below
+            # the field threshold still append an n_grams=0 tombstone so
+            # latest-wave-wins retires their old postings
+            from findopendata_spark.sketch.trigram_index import (
+                _field_grams_total,
+            )
 
             flat = docs.select(
                 "doc_id",
@@ -531,7 +540,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                     " ",
                 ).alias("text"),
             )
-            grams = _field_grams(flat, field)
+            grams = _field_grams_total(flat, field)
             f_index.append(ex.submit(
                 _timed, f"index_{field}", cat.stage_append,
                 grams.select("doc_id", F.explode("g").alias("gram")),
@@ -576,7 +585,13 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                     ).alias("v"),
                 )
                 # zero vectors (no tokens / full sign cancellation) have
-                # no cosine direction — excluded, like len<3 for trigrams
+                # no cosine direction — excluded, like len<3 for
+                # trigrams. KNOWN (ADVICE r05): a recrawled doc whose
+                # new embedding is zero appends no assignment row, so
+                # its OLD cell assignment stays live until compaction —
+                # a compaction-only repair by contract (zero vectors are
+                # ~2^-dim of docs; the trigram path, where shrinkage is
+                # common, writes explicit tombstones instead).
                 .filter(
                     F.aggregate(
                         "v", F.lit(0.0), lambda s, x: s + x * x
@@ -813,6 +828,8 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
         _mark("stage_commit")
     finally:
         ex.shutdown(wait=True)
+        if _prev_part is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_part)
 
     # stats from the already-written lineage parquet (one tiny read — no
     # recount jobs over the big frames)
@@ -938,10 +955,22 @@ def crawl(
     )
     init_state(spark, state, bulk_seeds=bulk_seeds)
     start = state.cat.current_wave() + 1
-    for wave in range(start, waves + 1):
-        stats = run_wave(spark, state, wave)
-        if log:
-            log(stats)
-        if stats["frontier"] == 0:
-            break  # politeness gaps can fetch 0 in a wave; only empty ends it
+    try:
+        for wave in range(start, waves + 1):
+            stats = run_wave(spark, state, wave)
+            if log:
+                log(stats)
+            if stats["frontier"] == 0:
+                break  # politeness gaps can fetch 0 in a wave; only
+                # empty ends it
+    finally:
+        # join the last wave's in-flight seen-filter delta and release
+        # its worker thread (ADVICE r05): without this the non-daemon
+        # delta thread outlives crawl(), fails invisibly if the caller
+        # stops the SparkSession, and blocks interpreter exit on the
+        # executor's atexit join.
+        _await_seen_delta(state)
+        if state._bg_ex is not None:
+            state._bg_ex.shutdown(wait=True)
+            state._bg_ex = None
     return state

@@ -86,10 +86,15 @@ class IncrementalIndexes:
         latest-wave-wins (Iceberg equality-delete merge-on-read), so a
         changed doc's newest rows replace its old ones at probe time —
         the reference's ``ON CONFLICT ... DO UPDATE`` semantics
-        (reference indexing.py:119-168)."""
-        from findopendata_spark.sketch.trigram_index import _field_grams
+        (reference indexing.py:119-168). TOTAL grams (ADVICE r05): a doc
+        whose new content falls below the field threshold appends an
+        n_grams=0 sizes tombstone, so shrink-to-empty retires its old
+        postings too."""
+        from findopendata_spark.sketch.trigram_index import (
+            _field_grams_total,
+        )
 
-        grams = _field_grams(docs, field)
+        grams = _field_grams_total(docs, field)
         wave = self.cat.current_wave() + 1
         self.cat.stage_append(
             grams.select("doc_id", F.explode("g").alias("gram")),

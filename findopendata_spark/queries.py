@@ -446,4 +446,11 @@ from findopendata_spark.queries2 import (  # noqa: E402
     DEPRECATED_ORACLE2 as DEPRECATED_ORACLE,
 )
 
-assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLE_SQL)
+# explicit raise, not assert (ADVICE r05): the 50-entry registry contract
+# (the grading driver records only the first 50 rows) must hold under
+# `python -O` too, where asserts are stripped.
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLE_SQL):
+    raise RuntimeError(
+        f"query registry contract broken: {len(QUERIES)} queries, "
+        f"oracle-key delta {set(QUERIES) ^ set(ORACLE_SQL)}"
+    )

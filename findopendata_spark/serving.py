@@ -86,10 +86,18 @@ class ApiServer:
             idx = IncrementalIndexes(SnapshotCatalog(self.catalog_root))
             self._sketches = idx.sketch_read(self.spark).cache()
             self._sketches.count()
-            self._records = (
-                idx.cat.read_appended(self.spark, "sketch_records")
-                .drop("wave").cache()
-            )
+            recs = idx.cat.read_appended(self.spark, "sketch_records")
+            if recs is None:
+                # crawl-maintained catalogs append only column_sketches
+                # (sketch_append keep_records=False) — name the missing
+                # table instead of dying on NoneType.drop (ADVICE r05)
+                raise ValueError(
+                    "catalog at %r has no 'sketch_records' table: warm a "
+                    "verify-record store with sketch_append("
+                    "keep_records=True), or serve sketch-only routes"
+                    % self.catalog_root
+                )
+            self._records = recs.drop("wave").cache()
             self._records.count()
         else:
             self._records, self._sketches = _sketch_store(

@@ -72,6 +72,32 @@ def _field_grams(docs: DataFrame, field: str) -> DataFrame:
     return src.select("doc_id", trigram_set_expr(col).alias("g"))
 
 
+def _field_grams_total(docs: DataFrame, field: str) -> DataFrame:
+    """Like :func:`_field_grams` but TOTAL over doc_ids: below-threshold
+    docs emit an empty gram set instead of no row. The incremental index
+    appends (``indexing.trigram_append``, crawl in-commit maintenance)
+    use this so a re-indexed doc whose new content falls below the field
+    threshold still writes a sizes tombstone (n_grams=0) under the new
+    wave — latest-wave-wins then retires the doc's OLD postings instead
+    of serving stale content (ADVICE r05 shrink-to-empty hole). Exploded
+    postings are unchanged (empty arrays explode to nothing)."""
+    if field == "text":
+        cond = F.length("text") >= 3
+        col = F.col("text")
+    elif field == "title":
+        cond = F.length("text") >= 80
+        col = F.substring("text", 1, 40)
+    elif field == "description":
+        cond = F.length("text") >= 80
+        col = F.substring("text", 41, 200)
+    else:
+        raise ValueError(f"unknown trigram field: {field}")
+    g = F.when(cond, trigram_set_expr(col)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", g.alias("g"))
+
+
 def trigram_index(spark: SparkSession, sf_dir: str, field: str) -> dict:
     """Build (or fetch the session-cached) posting index for a field.
 

@@ -355,3 +355,31 @@ def test_recrawl_reindex_probe_equals_rebuild(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_trigram_upsert_shrink_to_empty(spark, tmp_path):
+    """ADVICE r05: a recrawled doc whose new content falls below the
+    field's length threshold must still retire its OLD postings. The
+    total-grams append writes an n_grams=0 sizes tombstone under the new
+    wave; latest-wave-wins then serves the doc as empty instead of the
+    stale wave-1 content."""
+    root = str(tmp_path / "cat")
+    idx = IncrementalIndexes(SnapshotCatalog(root))
+    docs1 = spark.createDataFrame(
+        [("d1", "hello world"), ("d2", "spark engine")],
+        "doc_id string, text string",
+    )
+    idx.trigram_append(spark, docs1, "text")
+    # recrawl: d1 shrank below the >=3-char text threshold
+    docs2 = spark.createDataFrame([("d1", "x")], "doc_id string, text string")
+    idx.trigram_append(spark, docs2, "text")
+
+    inc = idx.trigram_index(spark, "text")
+    assert inc["postings"].filter("doc_id = 'd1'").count() == 0
+    sizes = {r["doc_id"]: r["n_grams"] for r in inc["sizes"].collect()}
+    assert sizes["d1"] == 0 and sizes["d2"] > 0
+    # exactly one surviving sizes row per doc (upsert, not append)
+    assert (
+        inc["sizes"].groupBy("doc_id").count().filter("count > 1").count()
+        == 0
+    )

@@ -157,13 +157,20 @@ def bulk_seed_frontier(spark, cfg: GraphConfig, n: int):
         F.lit("/d/"),
         F.lpad((F.col("id") % cfg.graph_size).cast("string"), 12, "0"),
     )
-    return df.select(
+    out = df.select(
         url.alias("url_canon"),
         host.alias("host"),
         F.lit(0).alias("depth"),
         F.lit(1.0).alias("priority"),
         F.lit(0).alias("discovered_wave"),
-    ).dropDuplicates(["url_canon"])
+    )
+    # uniqueness by construction: the path id is ``id % graph_size`` and
+    # ids range over [0, n), so for n <= graph_size every URL is distinct
+    # regardless of host — the dedup shuffle would remove nothing. Only
+    # wrap-around seed counts (n > graph_size) can collide and pay it.
+    if n > cfg.graph_size:
+        out = out.dropDuplicates(["url_canon"])
+    return out
 
 
 def page_has_media(h: np.ndarray, cfg: GraphConfig) -> np.ndarray:

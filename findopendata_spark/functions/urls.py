@@ -66,8 +66,10 @@ def url_host(url: Column) -> Column:
     """Lower-cased host without port — the politeness / sharding key.
 
     ``parse_url(HOST)`` is a native URI parse (no regex) — measured ~9x
-    faster than a regexp_extract chain at 3M rows, and this runs on every
-    extracted link every wave."""
+    faster than a regexp_extract chain at 3M rows, and ~2.5x faster than
+    a guarded RFC-1123-hostname regexp_extract fast path (A/B'd r06: the
+    capturing-group regex with nested label quantifiers loses to the URI
+    parse, unlike the canonicalizer's simple whitelist match)."""
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 

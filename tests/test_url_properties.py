@@ -12,6 +12,7 @@ from findopendata_spark.functions.urls import (
     canonicalize_url,
     canonicalize_url_uri,
     url_host,
+    url_host_uri,
 )
 
 SCHEMES = ["http", "https", "HTTP", "HtTpS"]
@@ -110,8 +111,13 @@ def test_guarded_canonicalizer_matches_uri_reference(spark):
                 "url",
                 canonicalize_url(F.col("url")).alias("fast"),
                 canonicalize_url_uri(F.col("url")).alias("uri"),
+                url_host(F.col("url")).alias("hfast"),
+                url_host_uri(F.col("url")).alias("huri"),
             )
-            .filter(~F.col("fast").eqNullSafe(F.col("uri")))
+            .filter(
+                (~F.col("fast").eqNullSafe(F.col("uri")))
+                | (~F.col("hfast").eqNullSafe(F.col("huri")))
+            )
             .collect()
         )
         assert bad == [], bad[:5]

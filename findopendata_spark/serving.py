@@ -70,8 +70,8 @@ class ApiServer:
             f"{self.sf_dir}/documents.parquet"
         ).cache()
         self._docs.count()
-        self._t_idx = trigram_index(self.spark, self.sf_dir, "title")
-        self._d_idx = trigram_index(self.spark, self.sf_dir, "description")
+        self._t_idx = self._warm_trigram("title")
+        self._d_idx = self._warm_trigram("description")
         if self.catalog_root is not None:
             # 100 TB serving shape (VERDICT r04 item 6): the joinable-
             # column search probes the PERSISTED column_sketches table
@@ -103,6 +103,33 @@ class ApiServer:
             self._records, self._sketches = _sketch_store(
                 self.spark, self.sf_dir
             )
+
+    def _warm_trigram(self, field: str) -> dict:
+        """Probe-ready trigram index for one field: from the PERSISTED
+        catalog tables when the supplied catalog carries them (VERDICT
+        r05 item 8 — a fresh serving cluster boots from table state, the
+        way the reference LSH server boots from the sketch table,
+        lshserver/main.go:26-82), else the session-built sf_dir index
+        (catalog-less demo path)."""
+        from findopendata_spark.sketch.trigram_index import trigram_index
+
+        if self.catalog_root is not None:
+            from findopendata_spark.catalog import SnapshotCatalog
+            from findopendata_spark.indexing import IncrementalIndexes
+
+            idx = IncrementalIndexes(SnapshotCatalog(self.catalog_root))
+            if idx.cat.read_appended(
+                self.spark, f"trigram_postings_{field}"
+            ) is not None:
+                d = idx.trigram_index(self.spark, field)
+                d = {
+                    "postings": d["postings"].cache(),
+                    "sizes": d["sizes"].cache(),
+                }
+                d["postings"].count()
+                d["sizes"].count()
+                return d
+        return trigram_index(self.spark, self.sf_dir, field)
 
     # -- endpoint kernels (plain python -> list[dict]) --------------------
     def original_hosts(self) -> list[str]:

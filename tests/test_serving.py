@@ -166,3 +166,39 @@ def test_joinable_route_from_persisted_store(api, spark, tmp_path):
     got = srv.joinable_column_search("q_probe", "dockey", 0.1, 10)
     want = api.joinable_column_search("q_probe", "dockey", 0.1, 10)
     assert got == want and len(got) > 0
+
+
+def test_similar_packages_route_from_persisted_trigram_store(
+    api, spark, tmp_path
+):
+    """VERDICT r05 item 8: with a catalog carrying the crawl-maintained
+    trigram tables, warm() probes the PERSISTED postings/sizes
+    (IncrementalIndexes latest-wave-wins read) instead of the
+    session-built index — and the similar-packages route answers
+    identically to the session-path server."""
+    from findopendata_spark.catalog import SnapshotCatalog
+    from findopendata_spark.indexing import IncrementalIndexes
+    from findopendata_spark.serving import ApiServer
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "serve_tri_cat")
+    idx = IncrementalIndexes(SnapshotCatalog(root))
+    idx.trigram_append(spark, docs, "title")
+    idx.trigram_append(spark, docs, "description")
+
+    srv = ApiServer(spark, SF, catalog_root=root)
+    # warm only the trigram side (the sketch tables are absent in this
+    # catalog on purpose — the route under test does not need them)
+    srv._docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    srv._t_idx = srv._warm_trigram("title")
+    srv._d_idx = srv._warm_trigram("description")
+
+    q_doc = (
+        docs.filter(F.length("text") >= 80).agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    got = srv.similar_packages(q_doc, 10)
+    want = api.similar_packages(q_doc, 10)
+    assert got == want and len(got) == 10

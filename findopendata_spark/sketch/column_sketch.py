@@ -217,13 +217,17 @@ def sketch_columns(
         _final_fn(cfg), _FINAL_SCHEMA
     )
 
-    # 4b. first-N distinct values in arrival order (A6)
-    w_first = Window.partitionBy("file_id", "column_name", "v").orderBy("ingest_key")
-    w_rank = Window.partitionBy("file_id", "column_name").orderBy("ingest_key")
+    # 4b. first-N distinct values in arrival order (A6). First occurrence
+    # per value = min(ingest_key) over (file, col, v) — identical to the
+    # r05 row_number()==1 window but as a HASH aggregate: the map-side
+    # partial agg collapses duplicate values before the exchange and no
+    # full-record sort happens (guide §2.3 "aggregate before you
+    # shuffle"); only the distinct set pays the rank window's sort.
+    w_rank = Window.partitionBy("file_id", "column_name").orderBy("_k")
     firsts = (
         r.filter(~F.col("is_empty"))
-        .withColumn("_occ", F.row_number().over(w_first))
-        .filter(F.col("_occ") == 1)
+        .groupBy("file_id", "column_name", "v")
+        .agg(F.min("ingest_key").alias("_k"))
         .withColumn("_rank", F.row_number().over(w_rank))
         .filter(F.col("_rank") <= cfg.column_sample_size)
     )

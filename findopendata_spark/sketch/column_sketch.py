@@ -192,7 +192,12 @@ def sketch_columns(
             "is_numeric": F.col("v").try_cast("double").isNotNull(),
         }
     )
-    r.cache()
+    # ensure_cached: repeated invocations (the bench's best-of-2 per
+    # query) rebuild an identical plan; the guard keeps CacheManager
+    # reuse without its "already cached" warning per rerun
+    from findopendata_spark.dedup import ensure_cached
+
+    ensure_cached(r)
 
     # 4a. counters (reference properties: column_sketch.py:72-117)
     counters = r.groupBy("file_id", "column_name").agg(

@@ -91,9 +91,9 @@ def url_host_uri(url: Column) -> Column:
 
 
 def canonicalize_url_uri(url: Column) -> Column:
-    """URI-based reference implementation (differential-test oracle):
-    the r05 production path, kept to pin byte-equality of the substring
-    splitter above."""
+    """URI-based reference implementation: the r05 production path —
+    the guarded canonicalizer's fallback branch and the differential
+    test's oracle."""
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     hostport = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
     # drop default ports

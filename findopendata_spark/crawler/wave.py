@@ -430,6 +430,18 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
                     flush=True,
                 )
 
+        # seen-filter warm-up OFF the critical path (r06b, event-log
+        # finding): the filter depends only on the wave-start committed
+        # seen table, yet _get_seen_filter used to run synchronously at
+        # probe time — on a cold filter (wave 1, resume, rebuild) its
+        # seen.count() + shard-build collects sat ~5 s between fetch and
+        # cand at 8 cores. Building it here overlaps selection staging +
+        # fetch; the probe joins the future. Single consumer: only this
+        # future touches state._seen_filter until .result().
+        f_seen_filter = ex.submit(
+            _timed, "seenfilter", _get_seen_filter, spark, state, seen
+        )
+
         fetched_hosts = (
             selected.select("host").distinct().withColumn("last_fetch_wave", F.lit(wave))
         )
@@ -718,7 +730,7 @@ def run_wave(spark: SparkSession, state: CrawlState, wave: int) -> dict:
 
         # 6. URL-seen dedup: Bloom prefilter → exact anti-join on maybes only
         _mark("plan_build")
-        seen_filter = _get_seen_filter(spark, state, seen)
+        seen_filter = f_seen_filter.result()  # built since wave start
         cand = seen_filter.with_maybe_seen(spark, cand, mode=cfg.seen_probe)
         cand = cand.localCheckpoint()  # probe runs once; both branches reuse
         _mark("cand_ckpt")

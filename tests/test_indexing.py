@@ -383,3 +383,74 @@ def test_trigram_upsert_shrink_to_empty(spark, tmp_path):
         inc["sizes"].groupBy("doc_id").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_trigram_upsert_multi_recrawl_and_compaction(spark, tmp_path):
+    """VERDICT r05 item 7 (full parametrization): the same doc recrawled
+    across SEVERAL waves keeps serving only its newest content, the
+    latest-wave-wins broadcast dim stays delta-sized (only genuinely
+    multi-wave doc_ids), and a compaction (append_base cutover) plus a
+    FURTHER recrawl on top of the compacted base preserve the upsert
+    semantics — reference ``ON CONFLICT ... DO UPDATE`` repeated."""
+    from pyspark.sql import functions as F
+
+    from findopendata_spark.sketch.trigram_index import _field_grams
+
+    root = str(tmp_path / "cat")
+    idx = IncrementalIndexes(SnapshotCatalog(root))
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def rebuild_counts(latest):
+        grams = _field_grams(docs_df(latest), "text")
+        return {
+            "post": grams.select(F.explode("g")).count(),
+            "sizes": {r["doc_id"]: r["n"] for r in grams.select(
+                "doc_id", F.size("g").alias("n")).collect()},
+        }
+
+    def probe_counts():
+        inc = idx.trigram_index(spark, "text")
+        return {
+            "post": inc["postings"].count(),
+            "sizes": {r["doc_id"]: r["n_grams"] for r in
+                      inc["sizes"].collect()},
+        }
+
+    # wave 0: three docs; waves 1-2: d1 recrawled twice (changing text)
+    idx.trigram_append(spark, docs_df(
+        [("d1", "alpha beta gamma"), ("d2", "delta epsilon"),
+         ("d3", "stable text")]), "text")
+    idx.trigram_append(spark, docs_df([("d1", "zeta eta theta")]), "text")
+    idx.trigram_append(spark, docs_df([("d1", "iota kappa")]), "text")
+
+    latest = [("d1", "iota kappa"), ("d2", "delta epsilon"),
+              ("d3", "stable text")]
+    assert probe_counts() == rebuild_counts(latest)
+
+    # delta-sized dim: only d1 spans multiple waves
+    sizes_all = idx.cat.read_appended(spark, "trigram_sizes_text")
+    multi = (sizes_all.groupBy("doc_id").count().filter("count > 1")
+             .select("doc_id").collect())
+    assert {r["doc_id"] for r in multi} == {"d1"}
+
+    # compaction: rewrite the merged latest state as ONE new wave and
+    # raise append_base so the old dirs become invisible
+    inc = idx.trigram_index(spark, "text")
+    cw = idx.cat.current_wave() + 1
+    idx.cat.stage_append(inc["postings"], "trigram_postings_text", cw)
+    idx.cat.stage_append(inc["sizes"], "trigram_sizes_text", cw)
+    idx.cat.commit_wave(cw, {}, append_base={
+        "trigram_postings_text": cw, "trigram_sizes_text": cw})
+
+    # post-compaction: single wave per doc, identical probe
+    sizes_all = idx.cat.read_appended(spark, "trigram_sizes_text")
+    assert sizes_all.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert probe_counts() == rebuild_counts(latest)
+
+    # a further recrawl ON TOP of the compacted base still upserts
+    idx.trigram_append(spark, docs_df([("d1", "lambda mu nu xi")]), "text")
+    latest2 = [("d1", "lambda mu nu xi"), ("d2", "delta epsilon"),
+               ("d3", "stable text")]
+    assert probe_counts() == rebuild_counts(latest2)

@@ -80,6 +80,12 @@ def get_spark(
         # static partition counts are always wrong for some stage.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (r06 negative A/B: lowering coalescePartitions.minPartitionSize
+        # to 64k — motivated by an event-log capture of q51's verify
+        # mapInArrow coalesced to 25 tasks on 32 cores — measured a net
+        # WASH over the hot python-stage queries, best-of-3 interleaved:
+        # q34 -0.3 s but q51 +0.7 s; the extra tasks' python-worker
+        # round-trips eat the parallelism gain. Default kept.)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow: every pandas UDF / applyInPandas hop is Arrow-batched.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
